@@ -1,0 +1,135 @@
+"""Structured configuration.
+
+One dataclass tree mirroring the reference YAML schema
+(``/root/reference/configs/charades/SeqPAN.yaml:1-30``) so existing config
+files load unchanged.  The reference used two config libraries (easydict at
+``main.py:28``, OmegaConf at ``utils/utils_hual.py:181-192``); here a single
+dataclass schema covers model / train / paths / loss plus the per-round
+config derivation used by the active-learning orchestrator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+
+@dataclass
+class PathsConfig:
+    ckpt_dir: str = "./ckpt"
+    cache_dir: str = "./data_pkl/"
+    feature_path: str = ""
+    glove_path: str = ""
+    train_path: str = ""
+    test_path: str = ""
+    val_path: str = ""
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 50
+    batch_size: int = 16
+    lr: float = 1e-4
+    droprate: float = 0.2
+    clip_norm: float = 1.0
+    # TPU additions (defaults preserve reference behavior)
+    weight_decay: float = 0.01      # reference models/ops.py:121 (hardcoded)
+    eval_batch_size: Optional[int] = None  # defaults to batch_size
+    seed: int = 12345               # reference main.py:21
+
+
+@dataclass
+class ModelConfig:
+    name: str = "SeqPAN"
+    max_vlen: int = 64
+    max_tlen: int = 30
+    vdim: int = 1024
+    dim: int = 128
+    num_heads: int = 8
+    word_dim: int = 300
+    char_dim: int = 50
+    attn_layer: int = 2
+    # filled in after dataset generation (reference main.py:34-35)
+    num_chars: int = 0
+    num_words: int = 0
+    # compute dtype for the TPU path; params/labels stay float32
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class LossConfig:
+    match_lambda: float = 1.0
+    tau: float = 0.3
+    no_gumbel: bool = True
+
+
+@dataclass
+class Config:
+    task: str = "charades"
+    suffix: str = ""
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def _sub(dc_cls, sub: dict[str, Any]):
+            names = {f.name for f in dataclasses.fields(dc_cls)}
+            return dc_cls(**{k: v for k, v in sub.items() if k in names})
+
+        return cls(
+            task=d.get("task", "charades"),
+            suffix=d.get("suffix", "") or "",
+            paths=_sub(PathsConfig, d.get("paths", {}) or {}),
+            train=_sub(TrainConfig, d.get("train", {}) or {}),
+            model=_sub(ModelConfig, d.get("model", {}) or {}),
+            loss=_sub(LossConfig, d.get("loss", {}) or {}),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path, encoding="utf8") as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", encoding="utf8") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    # ------------------------------------------------------------------
+    def derive_round(self, round_idx: int) -> "Config":
+        """Per-round config derivation (reference utils/utils_hual.py:181-192).
+
+        Rewrites train/test paths to the round directory and sets the suffix.
+        """
+        cfg = dataclasses.replace(
+            self,
+            suffix=f"re{round_idx}",
+            paths=dataclasses.replace(
+                self.paths,
+                train_path=f"./data/{self.task}_re{round_idx}/train.json",
+                test_path=f"./data/{self.task}_re{round_idx}/test.json",
+            ),
+        )
+        return cfg
+
+    @property
+    def eval_batch_size(self) -> int:
+        return self.train.eval_batch_size or self.train.batch_size
+
+    def model_dir(self) -> str:
+        # Reference main.py:42 formats 'ckpt/{}_' with the task only (the
+        # suffix placeholder is missing), so every round overwrites one dir.
+        # We keep the suffix so rounds are resumable, and fall back to the
+        # reference layout when suffix is empty.
+        name = f"{self.task}_{self.suffix}" if self.suffix else f"{self.task}_"
+        return os.path.join(self.paths.ckpt_dir, name)

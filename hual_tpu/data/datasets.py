@@ -1,0 +1,157 @@
+"""Dataset record processing and caching (reference utils/data_gen.py).
+
+Record JSON schema (reference data/*/train.json): a list of
+``[vid, duration, [s_time, e_time], sentence, ...extras]``; extras (glance
+annotations, active points) are ignored here (reference Processor reads
+``record[:4]``, utils/data_gen.py:22).
+
+On top of the reference pipeline we compute two *static* shape bounds that
+make every batch a fixed shape (one XLA trace, no retracing):
+``max_wlen`` (longest tokenized query, post-truncation) and ``max_clen``
+(longest word in characters), stored in the cached dataset dict.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from hual_tpu.config import Config
+from hual_tpu.data.tokenize import tokenize
+from hual_tpu.data.vocab import PAD, UNK, vocab_emb_gen
+from hual_tpu.utils.io import load_json, load_pickle, save_pickle
+from hual_tpu.utils.metrics import time_to_index
+
+
+class Processor:
+    """Raw JSON records -> tokenized dicts (reference utils/data_gen.py:11-43)."""
+
+    def __init__(self):
+        self.idx_counter = 0
+
+    def reset_idx_counter(self):
+        self.idx_counter = 0
+
+    def process_data(self, data, scope: str):
+        results = []
+        for record in data:
+            vid, duration, gt_label, sentence = record[:4]
+            start_time, end_time = gt_label
+            words = tokenize(sentence)
+            results.append({
+                "sample_id": self.idx_counter,
+                "vid": str(vid),
+                "s_time": start_time,
+                "e_time": end_time,
+                "duration": duration,
+                "words": words,
+            })
+            self.idx_counter += 1
+        return results
+
+    def convert(self, data_dir: str):
+        self.reset_idx_counter()
+        if not os.path.exists(data_dir):
+            raise ValueError(f"data dir {data_dir} does not exist")
+        train_data = load_json(os.path.join(data_dir, "train.json"))
+        test_data = load_json(os.path.join(data_dir, "test.json"))
+        train_set = self.process_data(train_data, scope="train")
+        test_set = self.process_data(test_data, scope="test")
+        return train_set, None, test_set
+
+
+def dataset_gen(data, vfeat_lens, word_dict, char_dict, max_pos_len: int, scope: str):
+    """Map words/chars to ids and times to unit indices (reference
+    utils/data_gen.py:98-118).  Words are truncated at ``max_pos_len`` —
+    the reference passes max_vlen here, not max_tlen; replicated deliberately.
+    """
+    dataset = []
+    unk_w, unk_c = word_dict[UNK], char_dict[UNK]
+    for record in data:
+        vid = record["vid"]
+        if vid not in vfeat_lens:
+            continue
+        s_ind, e_ind = time_to_index(record["s_time"], record["e_time"],
+                                     vfeat_lens[vid], record["duration"])
+        word_ids, char_ids = [], []
+        for word in record["words"][0:max_pos_len]:
+            word_ids.append(word_dict.get(word, unk_w))
+            char_ids.append([char_dict.get(c, unk_c) for c in word])
+        dataset.append({
+            "sample_id": record["sample_id"], "vid": vid,
+            "s_time": record["s_time"], "e_time": record["e_time"],
+            "duration": record["duration"], "words": record["words"],
+            "s_ind": int(s_ind), "e_ind": int(e_ind),
+            "v_len": vfeat_lens[vid], "w_ids": word_ids, "c_ids": char_ids,
+        })
+    return dataset
+
+
+def gen_train_data_cache_path(config: Config) -> str:
+    """Cache key = (task, feature version, max_vlen, suffix); reference
+    utils/data_gen.py:155-158."""
+    feat_version = os.path.split(config.paths.feature_path.rstrip("/"))[-1]
+    name = "_".join([config.task, feat_version, str(config.model.max_vlen),
+                     config.suffix]) + ".pkl"
+    return os.path.join(config.paths.cache_dir, name)
+
+
+def _static_shape_bounds(datasets) -> tuple[int, int]:
+    max_wlen, max_clen = 1, 1
+    for ds in datasets:
+        if ds is None:
+            continue
+        for rec in ds:
+            max_wlen = max(max_wlen, len(rec["w_ids"]))
+            for cid in rec["c_ids"]:
+                max_clen = max(max_clen, len(cid))
+    return max_wlen, max_clen
+
+
+def gen_or_load_dataset(config: Config, data_dir: str | None = None) -> dict:
+    """Build or load the cached dataset dict (reference utils/data_gen.py:160-196).
+
+    Unlike the reference (which derives data_dir from task+suffix only), we
+    honor config.paths.train_path when it is set, falling back to the
+    reference layout ``data/<task>_<suffix>/``.
+    """
+    os.makedirs(config.paths.cache_dir, exist_ok=True)
+    if data_dir is None:
+        if config.paths.train_path:
+            data_dir = os.path.dirname(config.paths.train_path)
+        else:
+            data_dir = os.path.join("data", f"{config.task}_{config.suffix}")
+
+    save_path = gen_train_data_cache_path(config)
+    if os.path.exists(save_path):
+        return load_pickle(save_path)
+
+    vfeat_lens = load_json(os.path.join(config.paths.feature_path, "feature_shapes.json"))
+    for vid, vfeat_len in vfeat_lens.items():
+        vfeat_lens[vid] = min(config.model.max_vlen, vfeat_len)
+
+    processor = Processor()
+    train_data, val_data, test_data = processor.convert(data_dir)
+    data_list = [train_data, test_data] if val_data is None else [train_data, val_data, test_data]
+    word_dict, char_dict, vectors = vocab_emb_gen(
+        data_list, config.paths.glove_path, word_dim=config.model.word_dim)
+
+    train_set = dataset_gen(train_data, vfeat_lens, word_dict, char_dict,
+                            config.model.max_vlen, "train")
+    val_set = None if val_data is None else dataset_gen(
+        val_data, vfeat_lens, word_dict, char_dict, config.model.max_vlen, "val")
+    test_set = dataset_gen(test_data, vfeat_lens, word_dict, char_dict,
+                           config.model.max_vlen, "test")
+
+    max_wlen, max_clen = _static_shape_bounds([train_set, val_set, test_set])
+    dataset = {
+        "train_set": train_set, "val_set": val_set, "test_set": test_set,
+        "word_dict": word_dict, "char_dict": char_dict,
+        "word_vector": np.asarray(vectors, dtype=np.float32),
+        "n_train": len(train_set), "n_val": 0 if val_set is None else len(val_set),
+        "n_test": len(test_set), "n_words": len(word_dict), "n_chars": len(char_dict),
+        "max_wlen": int(max_wlen), "max_clen": int(max_clen),
+    }
+    save_pickle(dataset, save_path)
+    return dataset

@@ -1,0 +1,70 @@
+"""Vocabulary + GloVe embedding matrix construction.
+
+Single-pass replacement for the reference's two full scans of
+glove.840B.300d.txt (utils/data_gen.py:47-95): we stream the file once,
+keeping vectors only for corpus words, then order rows by corpus frequency
+exactly as the reference does (most_common order filtered to GloVe vocab).
+"""
+
+from __future__ import annotations
+
+import codecs
+from collections import Counter
+
+import numpy as np
+
+PAD, UNK = "<PAD>", "<UNK>"
+
+
+def count_corpus(datasets) -> tuple[Counter, Counter]:
+    """Word and character counters over processed record lists."""
+    word_counter: Counter = Counter()
+    char_counter: Counter = Counter()
+    for data in datasets:
+        if data is None:
+            continue
+        for record in data:
+            for word in record["words"]:
+                word_counter[word] += 1
+                for ch in word:
+                    char_counter[ch] += 1
+    return word_counter, char_counter
+
+
+def load_glove_for_words(glove_path: str, words: set[str], dim: int = 300
+                         ) -> dict[str, np.ndarray]:
+    """One streaming pass: word -> vector for corpus words present in GloVe."""
+    found: dict[str, np.ndarray] = {}
+    with codecs.open(glove_path, mode="r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.lstrip().rstrip().split(" ")
+            # skip header lines / malformed rows (reference utils/data_gen.py:51-53)
+            if len(parts) == 2 or len(parts) != dim + 1:
+                continue
+            word = parts[0]
+            if word in words and word not in found:
+                found[word] = np.asarray([float(x) for x in parts[1:]], dtype=np.float32)
+    return found
+
+
+def vocab_emb_gen(datasets, glove_path: str, word_dim: int = 300,
+                  char_min_count: int = 5):
+    """Build word/char dicts + embedding matrix (reference utils/data_gen.py:76-95).
+
+    Layout parity: word vocab = [PAD, UNK] + corpus∩GloVe words sorted by
+    corpus frequency; ``vectors`` excludes the PAD/UNK rows (the model adds a
+    zero PAD row and a trainable UNK row, reference models/modules.py:8-16).
+    Char vocab = [PAD, UNK] + chars with count >= 5 in frequency order.
+    """
+    word_counter, char_counter = count_corpus(datasets)
+    glove_vectors = load_glove_for_words(glove_path, set(word_counter), dim=word_dim)
+
+    word_vocab = [w for w, _ in word_counter.most_common() if w in glove_vectors]
+    vectors = np.zeros((len(word_vocab), word_dim), dtype=np.float32)
+    for i, w in enumerate(word_vocab):
+        vectors[i] = glove_vectors[w]
+
+    word_dict = {w: i for i, w in enumerate([PAD, UNK] + word_vocab)}
+    char_vocab = [PAD, UNK] + [c for c, n in char_counter.most_common() if n >= char_min_count]
+    char_dict = {c: i for i, c in enumerate(char_vocab)}
+    return word_dict, char_dict, vectors

@@ -1,0 +1,5 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh; the real TPU is reserved for bench.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
