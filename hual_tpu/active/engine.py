@@ -1,0 +1,140 @@
+"""The HUAL round engine: rank uncertainty, simulate one binary annotation for
+the selected half, regenerate pseudo labels (reference update_label.py:125-238).
+
+Differences from the reference (behavior-preserving):
+  * model uncertainty is computed for the whole train set in one vectorized
+    array op (the reference sigmoid-ed per sample through torch);
+  * the ranking is stable-sorted once instead of re-sorted inside the append
+    loop (reference update_label.py:168 — O(N^2 log N) with identical result);
+  * everything else — ascending-uncertainty selection of ceil(N/2) samples
+    (update_label.py:185), argmax-uncertainty observation point, oracle
+    answer, renewal math — matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+
+from hual_tpu.active.coefficients import F_RENEW, RoundCoeffs, get_coff
+from hual_tpu.active.renew import append_annotation, renew_label
+from hual_tpu.active.uncertainty import distance_score, model_uncertainty_batch, sigmoid
+from hual_tpu.utils.io import load_json, load_pickle, save_json
+from hual_tpu.utils.metrics import (calculate_iou, index_to_time_al,
+                                    miou_two_record_lists, time_to_index_al)
+
+
+def rank_uncertainty(data_old: list, data_gt: list, last_prop: list,
+                     coff: RoundCoeffs) -> list[dict]:
+    """Per-sample acquisition records sorted ascending by video uncertainty
+    (reference get_uncert_rank, update_label.py:125-169)."""
+    n = len(data_old)
+    assert len(last_prop) == n and len(data_gt) == n
+
+    # stack the two MC-dropout logit passes: (N, T) each
+    s1 = np.stack([np.asarray(p["prop_logits1"][0]) for p in last_prop])
+    e1 = np.stack([np.asarray(p["prop_logits1"][1]) for p in last_prop])
+    s2 = np.stack([np.asarray(p["prop_logits2"][0]) for p in last_prop])
+    e2 = np.stack([np.asarray(p["prop_logits2"][1]) for p in last_prop])
+    vlens = np.asarray([p["v_len"] for p in last_prop])
+    uncert_model = model_uncertainty_batch(s1, e1, s2, e2, vlens)   # (N, T)
+    uncert_video = uncert_model.sum(axis=1)                          # (N,)
+
+    res = []
+    for idx, sample in enumerate(data_old):
+        vid, duration = sample[0], sample[1]
+        old_ap = sample[4]
+        assert vid == last_prop[idx]["vid"]
+        assert vid == data_gt[idx][0]
+        vlen = int(last_prop[idx]["v_len"])
+
+        sprob_raw, eprob_raw = last_prop[idx]["prop_logits"]
+        sprob = sigmoid(np.asarray(sprob_raw))
+        eprob = sigmoid(np.asarray(eprob_raw))
+        max_vlen = len(sprob)
+
+        gt_idx = time_to_index_al(list(data_gt[idx][2]), duration, vlen)
+        old_idx = time_to_index_al(list(sample[2]), duration, vlen)
+
+        uncert_dist = distance_score(old_ap["pos_idx"], old_ap["neg_idx"],
+                                     vlen=vlen, max_vlen=max_vlen)
+        uncert_frame = uncert_dist + uncert_model[idx][:max_vlen] * coff.uncert
+
+        res.append({
+            "idx": idx, "gt_idx": gt_idx, "old_idx": old_idx, "old_ap": old_ap,
+            "vlen": vlen, "max_vlen": max_vlen, "duration": duration,
+            "uncert_frame": uncert_frame,
+            "uncert_video": float(uncert_video[idx]),
+            "sprob": sprob, "eprob": eprob,
+        })
+    res.sort(key=lambda r: r["uncert_video"])  # ascending, stable
+    return res
+
+
+def renew_dataset(data_old: list, data_gt: list, last_prop: list,
+                  coff: RoundCoeffs) -> tuple[list, dict]:
+    """One full label-update pass; mutates and returns data_old
+    (reference update_label.py main, :173-208)."""
+    # first round: attach empty annotation state as the 5th field
+    if len(data_old[0]) == 4:
+        for rec in data_old:
+            rec.append({"pos_idx": [], "neg_idx": []})
+
+    ranking = rank_uncertainty(data_old, data_gt, last_prop, coff)
+    iou_pos, iou_neg = [], []
+    n_select = int(np.ceil(len(ranking) / 2))
+    for record in ranking[:n_select]:
+        idx = record["idx"]
+        observe_point = int(np.argmax(record["uncert_frame"]))
+        new_ap = append_annotation(observe_point, record["old_ap"],
+                                   record["gt_idx"])
+        new_idx = renew_label(record["old_idx"], new_ap, record["sprob"],
+                              record["eprob"], record["vlen"],
+                              record["max_vlen"], coff)
+        new_time = index_to_time_al(new_idx, record["duration"], record["vlen"])
+        data_old[idx][2] = new_time
+        data_old[idx][4] = new_ap
+        iou = calculate_iou(new_idx, record["gt_idx"])
+        (iou_pos if new_ap["pos_idx"] else iou_neg).append(iou)
+    stats = {
+        "n_selected": n_select,
+        "n_pos": len(iou_pos), "n_neg": len(iou_neg),
+        "miou_pos_idx": float(np.mean(iou_pos)) if iou_pos else 0.0,
+        "miou_neg_idx": float(np.mean(iou_neg)) if iou_neg else 0.0,
+    }
+    return data_old, stats
+
+
+def update_labels(task: str, round_idx: int, data_root: str = "./data",
+                  results_root: str = "./results",
+                  table: dict = F_RENEW) -> dict:
+    """File-level round driver (reference update_label.py:220-238): reads the
+    previous round's train.json + prediction pickle + GT, writes the next
+    round's train.json, copies GT test.json, reports pseudo-label mIoU."""
+    coff = get_coff(table, task, round_idx)
+    old_path = os.path.join(data_root, f"{task}_re{round_idx - 1}", "train.json")
+    new_path = os.path.join(data_root, f"{task}_re{round_idx}", "train.json")
+    prop_path = os.path.join(results_root, task, f"re{round_idx - 1}.pkl")
+    gt_path = os.path.join(data_root, f"{task}_gt", "train.json")
+
+    data_old = load_json(old_path)
+    data_gt = load_json(gt_path)
+    last_prop = load_pickle(prop_path)
+
+    old_miou = miou_two_record_lists(data_gt, data_old)
+    data_new, stats = renew_dataset(data_old, data_gt, last_prop, coff)
+
+    os.makedirs(os.path.dirname(new_path), exist_ok=True)
+    save_json(data_new, new_path)
+    # copy GT test.json into the round dir (reference cp_testjson,
+    # utils/utils_hual.py:174-177)
+    shutil.copy(os.path.join(os.path.dirname(gt_path), "test.json"),
+                os.path.join(os.path.dirname(new_path), "test.json"))
+
+    new_miou = miou_two_record_lists(data_gt, data_new)
+    stats.update(old_miou=old_miou, new_miou=new_miou,
+                 old_path=old_path, new_path=new_path)
+    print(f"mIoU[GT, pseudo]:\n{old_miou:.4f} -> {new_miou:.4f}")
+    return stats

@@ -1,0 +1,84 @@
+"""In-process HUAL round orchestrator.
+
+Replaces the reference's os.system subprocess chains
+(run_charades.py:9-41 / run_anet.py:9-41): for each round I —
+update labels -> train -> infer the train set — as plain function calls,
+resumable at round granularity, with per-round config derivation
+(reference utils/utils_hual.py:181-192) and no cache-delete hack (the cache
+key includes the suffix, so each round caches separately).
+
+    python -m hual_tpu.orchestrate charades            # rounds 1..3
+    python -m hual_tpu.orchestrate anet --rounds 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from hual_tpu.active.engine import update_labels
+from hual_tpu.config import Config
+from hual_tpu.runtime.logger import get_logger
+
+DEFAULT_ROUNDS = {"charades": 3, "anet": 4}
+DEFAULT_CONFIGS = {
+    "charades": "./configs/charades/SeqPAN.yaml",
+    "anet": "./configs/anet/SeqPAN.yaml",
+}
+
+
+def run_rounds(task: str, rounds: int | None = None,
+               base_config_path: str | None = None,
+               start_round: int = 1, data_root: str = "./data",
+               results_root: str = "./results") -> list[dict]:
+    """The full HUAL loop; returns per-round stats + metrics."""
+    from hual_tpu.cli import build_trainer  # deferred: heavy jax imports
+
+    rounds = rounds or DEFAULT_ROUNDS.get(task, 3)
+    base_config_path = base_config_path or DEFAULT_CONFIGS[task]
+    base = Config.load(base_config_path)
+    logger = get_logger(f"./logs/{task}", "rounds")
+    history = []
+
+    for round_idx in range(start_round, rounds + 1):
+        logger.info(f"=== round re{round_idx}: update labels ===")
+        stats = update_labels(task, round_idx, data_root=data_root,
+                              results_root=results_root)
+        logger.info(f"pseudo-label mIoU {stats['old_miou']:.4f} -> "
+                    f"{stats['new_miou']:.4f}")
+
+        cfg = base.derive_round(round_idx)
+        # persist the derived config next to the base one (reference
+        # generate_configs writes SeqPAN_re<I>.yaml)
+        stem, ext = os.path.splitext(base_config_path)
+        cfg.save(f"{stem}_re{round_idx}{ext}")
+
+        logger.info(f"=== round re{round_idx}: train ===")
+        trainer = build_trainer(cfg)
+        trainer.init_state()
+        best = trainer.train()
+
+        logger.info(f"=== round re{round_idx}: infer train set ===")
+        trainer.restore()
+        infer_metrics = trainer.infer_trainset(
+            save_path=os.path.join(results_root, task, f"re{round_idx}.pkl"))
+
+        history.append({"round": round_idx, "label_stats": stats,
+                        "best": best, "infer": infer_metrics})
+    return history
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("task", choices=["charades", "anet"])
+    parser.add_argument("--rounds", type=int, default=None)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--start-round", type=int, default=1)
+    args = parser.parse_args(argv)
+    run_rounds(args.task, rounds=args.rounds, base_config_path=args.config,
+               start_round=args.start_round)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

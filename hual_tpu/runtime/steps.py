@@ -1,0 +1,107 @@
+"""Pure jittable step functions: train / eval / MC-dropout inference.
+
+One fused XLA program replaces each reference host loop body:
+
+* train step (reference utils/runner_utils.py:139-159): forward + all three
+  losses + AdamW update + span decode + on-device IoU — one program, one
+  host round-trip per batch (the reference ran sess.run then re-decoded
+  times/IoU per sample in Python).
+* MC-dropout inference step (reference eval_test_save,
+  utils/runner_utils.py:69-110): the reference issued FIVE sess.runs per
+  batch (match scores, clean logits, indices, 2x dropout logits); here all
+  of it is a single compiled function with three internal forward passes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hual_tpu.models.seqpan import seqpan_loss
+
+
+def device_ious(start_idx, end_idx, s_ind, e_ind, v_len, duration):
+    """Interval IoU of predicted vs (pseudo) GT spans, decoded with the
+    trainer convention s=i*dur/T, e=(i+1)*dur/T (utils/data_utils.py:121-127),
+    fully on device in float32."""
+    vl = v_len.astype(jnp.float32)
+    dur = duration.astype(jnp.float32)
+    ps = start_idx.astype(jnp.float32) * dur / vl
+    pe = (end_idx.astype(jnp.float32) + 1.0) * dur / vl
+    gs = s_ind.astype(jnp.float32) * dur / vl
+    ge = (e_ind.astype(jnp.float32) + 1.0) * dur / vl
+    inter = jnp.minimum(pe, ge) - jnp.maximum(ps, gs)
+    union = jnp.maximum(pe, ge) - jnp.minimum(ps, gs)
+    iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+    return jnp.maximum(iou, 0.0)
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    match_lambda: float, droprate: float) -> Callable:
+    def train_step(params, opt_state, batch, word_vectors, lr, rng):
+        def loss_fn(p):
+            outputs = model.apply(p, batch, word_vectors, droprate,
+                                  batch["match_labels"], deterministic=False,
+                                  rngs={"dropout": rng})
+            total, aux = seqpan_loss(outputs, batch, match_lambda)
+            return total, (aux, outputs)
+
+        (loss, (aux, outputs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ious = device_ious(outputs["start_index"], outputs["end_index"],
+                           batch["s_ind"], batch["e_ind"],
+                           batch["video_seq_len"], batch["duration"])
+        metrics = dict(aux)
+        metrics["ious"] = ious
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    def eval_step(params, batch, word_vectors):
+        outputs = model.apply(params, batch, word_vectors, 0.0,
+                              deterministic=True)
+        ious = device_ious(outputs["start_index"], outputs["end_index"],
+                           batch["s_ind"], batch["e_ind"],
+                           batch["video_seq_len"], batch["duration"])
+        return {"start_index": outputs["start_index"],
+                "end_index": outputs["end_index"], "ious": ious}
+
+    return eval_step
+
+
+def make_infer_step(model, mc_droprate: float = 0.5) -> Callable:
+    """Clean forward + two MC-dropout forwards in one compiled program
+    (reference eval_test_save's 5 sess.runs, utils/runner_utils.py:75-81)."""
+
+    def infer_step(params, batch, word_vectors, rng):
+        clean = model.apply(params, batch, word_vectors, 0.0,
+                            deterministic=True)
+        r1, r2 = jax.random.split(rng)
+        mc1 = model.apply(params, batch, word_vectors, mc_droprate,
+                          deterministic=False, rngs={"dropout": r1})
+        mc2 = model.apply(params, batch, word_vectors, mc_droprate,
+                          deterministic=False, rngs={"dropout": r2})
+        ious = device_ious(clean["start_index"], clean["end_index"],
+                           batch["s_ind"], batch["e_ind"],
+                           batch["video_seq_len"], batch["duration"])
+        return {
+            "match_scores": clean["match_scores"],
+            "start_logits": clean["start_logits"],
+            "end_logits": clean["end_logits"],
+            "start_index": clean["start_index"],
+            "end_index": clean["end_index"],
+            "start_logits1": mc1["start_logits"],
+            "end_logits1": mc1["end_logits"],
+            "start_logits2": mc2["start_logits"],
+            "end_logits2": mc2["end_logits"],
+            "ious": ious,
+        }
+
+    return infer_step

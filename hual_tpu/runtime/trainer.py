@@ -1,0 +1,224 @@
+"""Trainer: jitted, mesh-sharded train / eval / MC-dropout inference.
+
+Covers the reference runner (main.py:50-113, utils/runner_utils.py:139-176,
+69-110): per-epoch linear LR decay, best-R1@0.7 checkpointing (Orbax), test
+evaluation, and the full-train-set MC-dropout inference that feeds the
+active-learning engine (same pickle schema as the reference).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from hual_tpu.config import Config
+from hual_tpu.data.features import FeatureStore
+from hual_tpu.data.loader import EvalLoader, PackedDataset, TrainLoader
+from hual_tpu.models.registry import get_model_class
+from hual_tpu.ops.optim import make_optimizer
+from hual_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from hual_tpu.runtime.logger import get_logger
+from hual_tpu.runtime.steps import make_eval_step, make_infer_step, make_train_step
+from hual_tpu.utils.io import save_pickle
+from hual_tpu.utils.metrics import rank1_metrics
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+    best_r1i7: float = -1.0
+
+
+class Trainer:
+    def __init__(self, config: Config, dataset: dict,
+                 feature_store: FeatureStore, mesh=None, logger=None):
+        self.config = config
+        self.dataset = dataset
+        self.features = feature_store
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = logger or get_logger(f"./logs/{config.task}",
+                                           config.suffix or "run")
+
+        max_wlen, max_clen = dataset["max_wlen"], dataset["max_clen"]
+        self.train_set = PackedDataset(dataset["train_set"], feature_store,
+                                       max_wlen, max_clen)
+        self.test_set = PackedDataset(dataset["test_set"], feature_store,
+                                      max_wlen, max_clen)
+        self.val_set = (PackedDataset(dataset["val_set"], feature_store,
+                                      max_wlen, max_clen)
+                        if dataset.get("val_set") else None)
+
+        config.model.num_chars = dataset["n_chars"]
+        config.model.num_words = dataset["n_words"]
+        self.model = get_model_class(config.model.name).from_config(config)
+        self.tx = make_optimizer(config.train.clip_norm,
+                                 config.train.weight_decay)
+
+        self._repl = replicated(self.mesh)
+        self._batch_sh = batch_sharding(self.mesh)
+        self.word_vectors = jax.device_put(
+            jnp.asarray(dataset["word_vector"], jnp.float32), self._repl)
+
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.tx, config.loss.match_lambda,
+                            config.train.droprate),
+            donate_argnums=(0, 1))
+        self._eval_step = jax.jit(make_eval_step(self.model))
+        self._infer_step = jax.jit(make_infer_step(self.model, 0.5))
+
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.config.train.seed if seed is None else seed
+        sample_sel = np.arange(min(2, len(self.train_set)))
+        batch = self.train_set.gather(sample_sel, with_labels=True)
+        init_rng = jax.random.key(seed)
+        params = self.model.init(
+            {"params": init_rng, "dropout": jax.random.fold_in(init_rng, 1)},
+            batch, np.asarray(self.dataset["word_vector"], np.float32), 0.0,
+            batch["match_labels"], deterministic=True)
+        params = jax.device_put(params, self._repl)
+        opt_state = jax.device_put(self.tx.init(params), self._repl)
+        self.state = TrainState(params=params, opt_state=opt_state)
+        n_params = sum(int(x.size) for x in jax.tree.leaves(params))
+        self.logger.info(f"initialized {self.config.model.name}: {n_params} params")
+        return self.state
+
+    def _put(self, batch: dict) -> dict:
+        return {k: jax.device_put(v, self._batch_sh) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------
+    def train(self) -> dict[str, Any]:
+        cfg = self.config
+        if self.state is None:
+            self.init_state()
+        state = self.state
+        loader = TrainLoader(self.train_set, cfg.train.batch_size,
+                             seed=cfg.train.seed)
+        base_rng = jax.random.key(cfg.train.seed + 17)
+        best = {"r1i7": -1.0, "train_line": "", "test_line": ""}
+        ckptr = ocp.StandardCheckpointer()
+        model_dir = os.path.abspath(self.config.model_dir())
+        os.makedirs(model_dir, exist_ok=True)
+
+        global_step = state.step
+        for epoch in range(cfg.train.epochs):
+            # linear LR decay (reference main.py:61)
+            cur_lr = cfg.train.lr * (1.0 - epoch / cfg.train.epochs)
+            t0 = time.time()
+            ious, losses = [], []
+            for _, batch in loader.batch_iter(epoch):
+                rng = jax.random.fold_in(base_rng, global_step)
+                state.params, state.opt_state, metrics = self._train_step(
+                    state.params, state.opt_state, self._put(batch),
+                    self.word_vectors, jnp.float32(cur_lr), rng)
+                ious.append(np.asarray(metrics["ious"]))
+                losses.append(metrics["loss"])
+                global_step += 1
+            state.step = global_step
+            train_m = rank1_metrics(np.concatenate(ious))
+            train_m["loss"] = float(np.mean([float(l) for l in losses]))
+            dt = time.time() - t0
+            sps = loader.num_samples() / max(dt, 1e-9)
+            train_line = ("TRAIN:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
+                          .format(**train_m))
+            self.logger.info(f"Epoch {epoch}|{cfg.train.epochs}: "
+                             f"loss {train_m['loss']:.4f} "
+                             f"({sps:.0f} pairs/s)")
+            self.logger.info(train_line)
+
+            test_m = self.test()
+            test_line = ("TEST:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
+                         .format(**test_m))
+            self.logger.info(test_line)
+
+            # keep the checkpoint at best test R1@IoU0.7 (reference main.py:70-75)
+            if test_m["r1i7"] > best["r1i7"]:
+                best.update(r1i7=test_m["r1i7"], train_line=train_line,
+                            test_line=test_line, epoch=epoch)
+                path = os.path.join(model_dir, "best")
+                if os.path.exists(path):
+                    import shutil
+                    shutil.rmtree(path)
+                ckptr.save(path, jax.device_get(state.params))
+        ckptr.wait_until_finished()
+        self.logger.info("Highest R1i7 epoch:\n%s\n%s",
+                         best["train_line"], best["test_line"])
+        return best
+
+    # ------------------------------------------------------------------
+    def restore(self, path: Optional[str] = None) -> None:
+        if self.state is None:
+            self.init_state()
+        if path is None:
+            path = os.path.join(os.path.abspath(self.config.model_dir()), "best")
+        if not os.path.exists(path):
+            raise ValueError(f"no pre-trained model exists at {path}")
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.device_get(self.state.params)
+        restored = ckptr.restore(path, target=target)
+        self.state.params = jax.device_put(restored, self._repl)
+
+    # ------------------------------------------------------------------
+    def test(self, split: str = "test") -> dict[str, float]:
+        assert self.state is not None
+        ds = {"test": self.test_set, "val": self.val_set}[split]
+        if ds is None:
+            raise ValueError(f"{split} set is not available")
+        loader = EvalLoader(ds, self.config.eval_batch_size)
+        ious = []
+        for _, batch, n_valid in loader.batch_iter():
+            out = self._eval_step(self.state.params, self._put(batch),
+                                  self.word_vectors)
+            ious.append(np.asarray(out["ious"])[:n_valid])
+        return rank1_metrics(np.concatenate(ious))
+
+    # ------------------------------------------------------------------
+    def infer_trainset(self, save_path: Optional[str] = None,
+                       seed: Optional[int] = None) -> dict[str, float]:
+        """Full-train-set MC-dropout inference; writes the round pickle with
+        the reference schema (utils/runner_utils.py:89-104)."""
+        assert self.state is not None
+        cfg = self.config
+        if save_path is None:
+            save_path = f"./results/{cfg.task}/{cfg.suffix}.pkl"
+        loader = EvalLoader(self.train_set, cfg.eval_batch_size)
+        rng = jax.random.key(cfg.train.seed if seed is None else seed)
+        records = self.train_set.records
+        ious, save_list = [], []
+        for bi, (sel, batch, n_valid) in enumerate(loader.batch_iter()):
+            out = self._infer_step(self.state.params, self._put(batch),
+                                   self.word_vectors, jax.random.fold_in(rng, bi))
+            out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
+            ious.append(out["ious"])
+            for i in range(n_valid):
+                rec = records[sel[i]]
+                save_list.append({
+                    "vid": rec["vid"],
+                    "duration": rec["duration"],
+                    "psuedo_idx": [rec["s_ind"], rec["e_ind"]],
+                    "sentence": " ".join(rec["words"]),
+                    "v_len": int(rec["v_len"]),
+                    "prop_idx": [int(out["start_index"][i]),
+                                 int(out["end_index"][i])],
+                    "prop_logits": [out["start_logits"][i], out["end_logits"][i]],
+                    "prop_logits1": [out["start_logits1"][i], out["end_logits1"][i]],
+                    "prop_logits2": [out["start_logits2"][i], out["end_logits2"][i]],
+                    "m_score": out["match_scores"][i],
+                })
+        save_pickle(save_list, save_path)
+        metrics = rank1_metrics(np.concatenate(ious))
+        self.logger.info(
+            "predict train set:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
+            .format(**metrics))
+        return metrics

@@ -1,0 +1,147 @@
+"""End-to-end slice on synthetic data: dataset gen -> train -> test ->
+MC-dropout train-set inference -> one active-learning label-update round.
+
+This is the framework equivalent of one reference HUAL round
+(run_charades.py:9-41) on a tiny hermetic dataset.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_synthetic_data import make_dataset  # noqa: E402
+
+from hual_tpu.config import Config, LossConfig, ModelConfig, PathsConfig, TrainConfig
+from hual_tpu.data.datasets import gen_or_load_dataset
+from hual_tpu.data.features import FeatureStore
+from hual_tpu.runtime.trainer import Trainer
+from hual_tpu.utils.io import load_json, load_pickle
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthetic")
+    make_dataset(str(root), task="charades", n_train=48, n_test=24,
+                 vdim=32, max_raw_len=24, seed=7)
+    return str(root)
+
+
+def tiny_config(root: str, suffix: str = "re0") -> Config:
+    return Config(
+        task="charades", suffix=suffix,
+        paths=PathsConfig(
+            ckpt_dir=os.path.join(root, "ckpt"),
+            cache_dir=os.path.join(root, "data_pkl"),
+            feature_path=os.path.join(root, "data/features/charades_i3d"),
+            glove_path=os.path.join(root, "data/glove/glove.840B.300d.txt"),
+            train_path=os.path.join(root, f"data/charades_{suffix}/train.json"),
+            test_path=os.path.join(root, f"data/charades_{suffix}/test.json"),
+        ),
+        train=TrainConfig(epochs=3, batch_size=8, lr=2e-3, droprate=0.1,
+                          clip_norm=1.0, seed=12345),
+        model=ModelConfig(name="SeqPAN", max_vlen=16, max_tlen=10, vdim=32,
+                          dim=32, num_heads=4, word_dim=300, char_dim=8,
+                          attn_layer=1),
+        loss=LossConfig(match_lambda=1.0, tau=0.3, no_gumbel=True),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(workdir):
+    cfg = tiny_config(workdir)
+    dataset = gen_or_load_dataset(cfg)
+    assert dataset["n_train"] == 48 and dataset["n_test"] == 24
+    features = FeatureStore.from_dir(cfg.paths.feature_path, cfg.model.max_vlen)
+    trainer = Trainer(cfg, dataset, features)
+    trainer.init_state()
+    best = trainer.train()
+    return workdir, cfg, trainer, best
+
+
+def test_dataset_caching(workdir):
+    cfg = tiny_config(workdir)
+    d1 = gen_or_load_dataset(cfg)
+    d2 = gen_or_load_dataset(cfg)  # cache hit
+    assert d1["n_words"] == d2["n_words"]
+    assert d1["word_vector"].shape[1] == 300
+    assert d1["max_wlen"] >= 4 and d1["max_clen"] >= 4
+
+
+def test_training_learns(trained):
+    _, _, trainer, best = trained
+    # with a planted cross-modal signal, 3 epochs must beat the ~13% random
+    # R1@0.3 floor on the tiny set
+    m = trainer.test()
+    assert best["r1i7"] >= 0.0
+    assert m["miou"] > 15.0, f"model failed to learn: {m}"
+
+
+def test_checkpoint_restore_roundtrip(trained):
+    _, _, trainer, _ = trained
+    before = trainer.test()
+    trainer.restore()
+    after = trainer.test()
+    # best checkpoint should be at least as good as whatever the final epoch was
+    assert after["r1i7"] >= 0.0
+    assert isinstance(before["miou"], float)
+
+
+def test_infer_trainset_pickle_schema(trained):
+    workdir, cfg, trainer, _ = trained
+    out = os.path.join(workdir, "results", "charades", "re0.pkl")
+    trainer.restore()
+    metrics = trainer.infer_trainset(save_path=out)
+    assert os.path.exists(out)
+    preds = load_pickle(out)
+    assert len(preds) == 48
+    rec = preds[0]
+    # exact schema parity with reference eval_test_save
+    # (utils/runner_utils.py:89-101)
+    assert set(rec) == {"vid", "duration", "psuedo_idx", "sentence", "v_len",
+                        "prop_idx", "prop_logits", "prop_logits1",
+                        "prop_logits2", "m_score"}
+    T = cfg.model.max_vlen
+    assert rec["prop_logits"][0].shape == (T,)
+    assert rec["m_score"].shape == (T, 4)
+    # the two MC-dropout passes must differ from each other and from clean
+    assert not np.allclose(rec["prop_logits1"][0], rec["prop_logits2"][0])
+    assert not np.allclose(rec["prop_logits"][0], rec["prop_logits1"][0])
+    assert metrics["miou"] > 0
+
+
+def test_active_learning_round(trained):
+    workdir, _, _, _ = trained
+    from hual_tpu.active.engine import update_labels
+    stats = update_labels("charades", 1,
+                          data_root=os.path.join(workdir, "data"),
+                          results_root=os.path.join(workdir, "results"))
+    new_train = load_json(os.path.join(workdir, "data", "charades_re1",
+                                       "train.json"))
+    assert len(new_train) == 48
+    # half the samples got exactly one annotation
+    n_annotated = sum(1 for r in new_train
+                      if len(r[4]["pos_idx"]) + len(r[4]["neg_idx"]) > 0)
+    assert n_annotated == stats["n_selected"] == 24
+    for r in new_train:
+        n_pts = len(r[4]["pos_idx"]) + len(r[4]["neg_idx"])
+        assert n_pts in (0, 1)
+    # test.json copied from GT
+    assert os.path.exists(os.path.join(workdir, "data", "charades_re1",
+                                       "test.json"))
+    assert 0.0 <= stats["new_miou"] <= 1.0
+
+
+def test_round1_retrains_from_updated_labels(trained):
+    workdir, _, _, _ = trained
+    cfg = tiny_config(workdir, suffix="re1")
+    cfg.train.epochs = 1
+    dataset = gen_or_load_dataset(cfg)
+    features = FeatureStore.from_dir(cfg.paths.feature_path, cfg.model.max_vlen)
+    trainer = Trainer(cfg, dataset, features)
+    trainer.init_state()
+    best = trainer.train()
+    assert best["r1i7"] >= 0.0

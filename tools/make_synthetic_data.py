@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Generate a hermetic synthetic VMR dataset in the reference's file formats.
+
+Produces everything a run needs (the real Charades/ANet features + GloVe are
+external downloads in the reference, README.md:11-16):
+
+  <root>/data/<task>_gt/{train,test}.json     [vid, dur, [s,e], sentence]
+  <root>/data/<task>_re0/{train,test}.json    perturbed round-0 pseudo spans
+  <root>/data/features/<task>_i3d/*.npy + feature_shapes.json
+  <root>/data/glove/glove.840B.300d.txt       (mini, same line format)
+
+The videos carry a learnable cross-modal signal: each sample's feature rows
+inside the GT span are shifted by an action-specific pattern, and the query
+sentence names that action, so a working model/train loop must drive R@1 up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+ACTIONS = ["opens", "closes", "takes", "throws", "drinks", "reads", "holds", "washes"]
+OBJECTS = ["door", "cup", "book", "broom", "bottle", "pillow", "laptop", "towel"]
+
+
+def make_dataset(root: str, task: str = "charades", n_train: int = 64,
+                 n_test: int = 32, vdim: int = 64, max_raw_len: int = 48,
+                 min_raw_len: int = 12, seed: int = 7) -> dict:
+    rng = np.random.default_rng(seed)
+    feat_dir = os.path.join(root, "data", "features", f"{task}_i3d")
+    os.makedirs(feat_dir, exist_ok=True)
+
+    patterns = rng.normal(0.0, 1.0, size=(len(ACTIONS), vdim)).astype(np.float32)
+    shapes = {}
+
+    def gen_records(n: int, offset: int) -> list:
+        records = []
+        for i in range(n):
+            vid = f"v{offset + i:05d}"
+            raw_len = int(rng.integers(min_raw_len, max_raw_len + 1))
+            duration = round(float(raw_len) * rng.uniform(0.4, 0.8), 2)
+            a = int(rng.integers(len(ACTIONS)))
+            o = int(rng.integers(len(OBJECTS)))
+            # a moment covering 20-60% of the video
+            span = rng.uniform(0.2, 0.6)
+            s_frac = rng.uniform(0.0, 1.0 - span)
+            s_time = round(s_frac * duration, 2)
+            e_time = round((s_frac + span) * duration, 2)
+            feat = rng.normal(0.0, 1.0, size=(raw_len, vdim)).astype(np.float32)
+            lo = int(s_frac * raw_len)
+            hi = max(lo + 1, int((s_frac + span) * raw_len))
+            feat[lo:hi] += 2.0 * patterns[a]
+            np.save(os.path.join(feat_dir, f"{vid}.npy"), feat)
+            shapes[vid] = raw_len
+            sentence = f"person {ACTIONS[a]} a {OBJECTS[o]}.\n"
+            records.append([vid, duration, [s_time, e_time], sentence])
+        return records
+
+    train = gen_records(n_train, 0)
+    test = gen_records(n_test, n_train)
+    with open(os.path.join(feat_dir, "feature_shapes.json"), "w") as f:
+        json.dump(shapes, f)
+
+    for split, data in [("train", train), ("test", test)]:
+        d = os.path.join(root, "data", f"{task}_gt")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{split}.json"), "w") as f:
+            json.dump(data, f)
+
+    # round-0 pseudo labels: GT spans jittered by up to 25% of duration
+    re0 = []
+    for vid, dur, (s, e), sent in train:
+        jit = rng.uniform(-0.25, 0.25, size=2) * dur
+        s2 = float(np.clip(s + jit[0], 0, dur))
+        e2 = float(np.clip(e + jit[1], 0, dur))
+        if e2 <= s2:
+            s2, e2 = max(0.0, e2 - 0.1 * dur), min(dur, s2 + 0.1 * dur)
+            if e2 <= s2:
+                s2, e2 = 0.0, dur
+        re0.append([vid, dur, [round(s2, 2), round(e2, 2)], sent])
+    d0 = os.path.join(root, "data", f"{task}_re0")
+    os.makedirs(d0, exist_ok=True)
+    with open(os.path.join(d0, "train.json"), "w") as f:
+        json.dump(re0, f)
+    with open(os.path.join(d0, "test.json"), "w") as f:
+        json.dump(test, f)
+
+    # mini GloVe file (same "word v1 ... v300" line format)
+    vocab = sorted({w for _, _, _, s in train + test
+                    for w in s.strip().lower().replace(".", " .").split()})
+    vocab += ["person", "a", "the", "."]
+    glove_dir = os.path.join(root, "data", "glove")
+    os.makedirs(glove_dir, exist_ok=True)
+    glove_path = os.path.join(glove_dir, "glove.840B.300d.txt")
+    with open(glove_path, "w") as f:
+        for w in sorted(set(vocab)):
+            vec = rng.normal(0, 0.5, size=300)
+            f.write(w + " " + " ".join(f"{x:.4f}" for x in vec) + "\n")
+
+    return {"feat_dir": feat_dir, "glove_path": glove_path,
+            "n_train": n_train, "n_test": n_test}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default=".")
+    p.add_argument("--task", default="charades")
+    p.add_argument("--n-train", type=int, default=64)
+    p.add_argument("--n-test", type=int, default=32)
+    p.add_argument("--vdim", type=int, default=64)
+    p.add_argument("--max-raw-len", type=int, default=48)
+    p.add_argument("--seed", type=int, default=7)
+    a = p.parse_args()
+    info = make_dataset(a.root, a.task, a.n_train, a.n_test, a.vdim,
+                        a.max_raw_len, seed=a.seed)
+    print(json.dumps(info))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
