@@ -38,7 +38,9 @@ class TrainConfig:
     clip_norm: float = 1.0
     # TPU additions (defaults preserve reference behavior)
     weight_decay: float = 0.01      # reference models/ops.py:121 (hardcoded)
-    eval_batch_size: Optional[int] = None  # defaults to batch_size
+    eval_batch_size: Optional[int] = None   # defaults to batch_size
+    infer_batch_size: Optional[int] = None  # train-set MC-dropout sweep;
+    # defaults to max(256, batch): a pure throughput win at fixed shapes
     seed: int = 12345               # reference main.py:21
 
 
@@ -125,6 +127,10 @@ class Config:
     @property
     def eval_batch_size(self) -> int:
         return self.train.eval_batch_size or self.train.batch_size
+
+    @property
+    def infer_batch_size(self) -> int:
+        return self.train.infer_batch_size or max(256, self.train.batch_size)
 
     def model_dir(self) -> str:
         # Reference main.py:42 formats 'ckpt/{}_' with the task only (the

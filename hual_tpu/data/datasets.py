@@ -88,6 +88,39 @@ def dataset_gen(data, vfeat_lens, word_dict, char_dict, max_pos_len: int, scope:
     return dataset
 
 
+def dataset_gen_active(data, vfeat_lens, word_dict, char_dict,
+                       max_pos_len: int, scope: str):
+    """Variant that derives spans from per-frame active weights instead of
+    timestamps (reference dataset_gen_active, utils/data_gen.py:119-152;
+    unused by the main pipeline, kept for API parity).  Records must carry an
+    'active_weight' list; frames with weight >= 0.5 bound the span."""
+    dataset = []
+    unk_w, unk_c = word_dict[UNK], char_dict[UNK]
+    for record in data:
+        vid = record["vid"]
+        if vid not in vfeat_lens:
+            continue
+        flen = vfeat_lens[vid]
+        w = np.asarray(record["active_weight"])
+        hits = np.where(w >= 0.5)[0]
+        if len(hits) < 1:
+            raise ValueError(f"no active frames for {vid}")
+        s_ind = round(hits[0] / len(w) * (flen - 1))
+        e_ind = round(hits[-1] / len(w) * (flen - 1))
+        word_ids, char_ids = [], []
+        for word in record["words"][0:max_pos_len]:
+            word_ids.append(word_dict.get(word, unk_w))
+            char_ids.append([char_dict.get(c, unk_c) for c in word])
+        dataset.append({
+            "sample_id": record["sample_id"], "vid": vid,
+            "s_time": record["s_time"], "e_time": record["e_time"],
+            "duration": record["duration"], "words": record["words"],
+            "s_ind": int(s_ind), "e_ind": int(e_ind),
+            "v_len": flen, "w_ids": word_ids, "c_ids": char_ids,
+        })
+    return dataset
+
+
 def gen_train_data_cache_path(config: Config) -> str:
     """Cache key = (task, feature version, max_vlen, suffix); reference
     utils/data_gen.py:155-158."""

@@ -64,7 +64,14 @@ def run_rounds(task: str, rounds: int | None = None,
             save_path=os.path.join(results_root, task, f"re{round_idx}.pkl"))
 
         history.append({"round": round_idx, "label_stats": stats,
-                        "best": best, "infer": infer_metrics})
+                        "best": {k: v for k, v in best.items()
+                                 if not k.endswith("_line")},
+                        "infer": infer_metrics})
+        summary_path = os.path.join(results_root, task, "rounds_summary.json")
+        os.makedirs(os.path.dirname(summary_path), exist_ok=True)
+        with open(summary_path, "w") as f:
+            import json
+            json.dump(history, f, indent=2)
     return history
 
 

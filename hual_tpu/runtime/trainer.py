@@ -25,6 +25,7 @@ from hual_tpu.models.registry import get_model_class
 from hual_tpu.ops.optim import make_optimizer
 from hual_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from hual_tpu.runtime.logger import get_logger
+from hual_tpu.runtime.observability import MetricsWriter, StepTimer, trace
 from hual_tpu.runtime.steps import make_eval_step, make_infer_step, make_train_step
 from hual_tpu.utils.io import save_pickle
 from hual_tpu.utils.metrics import rank1_metrics
@@ -76,6 +77,9 @@ class Trainer:
         self._infer_step = jax.jit(make_infer_step(self.model, 0.5))
 
         self.state: Optional[TrainState] = None
+        self.metrics = MetricsWriter(
+            os.path.join("logs", config.task,
+                         f"metrics_{config.suffix or 'run'}.jsonl"))
 
     # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -112,21 +116,27 @@ class Trainer:
         os.makedirs(model_dir, exist_ok=True)
 
         global_step = state.step
+        timer = StepTimer(warmup_steps=2)
         for epoch in range(cfg.train.epochs):
             # linear LR decay (reference main.py:61)
             cur_lr = cfg.train.lr * (1.0 - epoch / cfg.train.epochs)
             t0 = time.time()
             ious, losses = [], []
-            for _, batch in loader.batch_iter(epoch):
-                rng = jax.random.fold_in(base_rng, global_step)
-                state.params, state.opt_state, metrics = self._train_step(
-                    state.params, state.opt_state, self._put(batch),
-                    self.word_vectors, jnp.float32(cur_lr), rng)
-                ious.append(np.asarray(metrics["ious"]))
-                losses.append(metrics["loss"])
-                global_step += 1
+            with trace(f"train_epoch_{epoch}"):
+                for _, batch in loader.batch_iter(epoch):
+                    rng = jax.random.fold_in(base_rng, global_step)
+                    timer.start()
+                    state.params, state.opt_state, metrics = self._train_step(
+                        state.params, state.opt_state, self._put(batch),
+                        self.word_vectors, jnp.float32(cur_lr), rng)
+                    # keep device arrays; conversion at epoch end so host
+                    # batch prep overlaps with async device dispatch
+                    ious.append(metrics["ious"])
+                    losses.append(metrics["loss"])
+                    timer.stop(batch["s_ind"].shape[0])
+                    global_step += 1
             state.step = global_step
-            train_m = rank1_metrics(np.concatenate(ious))
+            train_m = rank1_metrics(np.concatenate([np.asarray(x) for x in ious]))
             train_m["loss"] = float(np.mean([float(l) for l in losses]))
             dt = time.time() - t0
             sps = loader.num_samples() / max(dt, 1e-9)
@@ -141,11 +151,16 @@ class Trainer:
             test_line = ("TEST:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
                          .format(**test_m))
             self.logger.info(test_line)
+            self.metrics.write("epoch", epoch=epoch, lr=cur_lr,
+                               train=train_m, test=test_m,
+                               pairs_per_sec=timer.pairs_per_sec,
+                               step_ms=timer.mean_step_ms)
 
             # keep the checkpoint at best test R1@IoU0.7 (reference main.py:70-75)
             if test_m["r1i7"] > best["r1i7"]:
                 best.update(r1i7=test_m["r1i7"], train_line=train_line,
-                            test_line=test_line, epoch=epoch)
+                            test_line=test_line, epoch=epoch,
+                            test_metrics=test_m, train_metrics=train_m)
                 path = os.path.join(model_dir, "best")
                 if os.path.exists(path):
                     import shutil
@@ -154,7 +169,41 @@ class Trainer:
         ckptr.wait_until_finished()
         self.logger.info("Highest R1i7 epoch:\n%s\n%s",
                          best["train_line"], best["test_line"])
+        best["pairs_per_sec"] = timer.pairs_per_sec
+        self.metrics.write("best", **{k: v for k, v in best.items()
+                                      if not k.endswith("_line")})
         return best
+
+    # ------------------------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Full training state (params + optimizer + step) for resume —
+        the reference declared a --checkpoint resume flag but never wired it
+        (main.py:17, SURVEY.md §5)."""
+        assert self.state is not None
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        ckptr.save(path, {"params": jax.device_get(self.state.params),
+                          "opt_state": jax.device_get(self.state.opt_state),
+                          "step": self.state.step,
+                          "best_r1i7": self.state.best_r1i7})
+        ckptr.wait_until_finished()
+
+    def load_state(self, path: str) -> None:
+        if self.state is None:
+            self.init_state()
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": jax.device_get(self.state.params),
+                  "opt_state": jax.device_get(self.state.opt_state),
+                  "step": self.state.step,
+                  "best_r1i7": self.state.best_r1i7}
+        restored = ckptr.restore(os.path.abspath(path), target=target)
+        self.state.params = jax.device_put(restored["params"], self._repl)
+        self.state.opt_state = jax.device_put(restored["opt_state"], self._repl)
+        self.state.step = int(restored["step"])
+        self.state.best_r1i7 = float(restored["best_r1i7"])
 
     # ------------------------------------------------------------------
     def restore(self, path: Optional[str] = None) -> None:
@@ -180,8 +229,9 @@ class Trainer:
         for _, batch, n_valid in loader.batch_iter():
             out = self._eval_step(self.state.params, self._put(batch),
                                   self.word_vectors)
-            ious.append(np.asarray(out["ious"])[:n_valid])
-        return rank1_metrics(np.concatenate(ious))
+            ious.append((out["ious"], n_valid))  # stay async; sync at end
+        return rank1_metrics(np.concatenate(
+            [np.asarray(x)[:n] for x, n in ious]))
 
     # ------------------------------------------------------------------
     def infer_trainset(self, save_path: Optional[str] = None,
@@ -192,7 +242,8 @@ class Trainer:
         cfg = self.config
         if save_path is None:
             save_path = f"./results/{cfg.task}/{cfg.suffix}.pkl"
-        loader = EvalLoader(self.train_set, cfg.eval_batch_size)
+        loader = EvalLoader(self.train_set,
+                            min(cfg.infer_batch_size, len(self.train_set)))
         rng = jax.random.key(cfg.train.seed if seed is None else seed)
         records = self.train_set.records
         ious, save_list = [], []
