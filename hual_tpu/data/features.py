@@ -77,7 +77,42 @@ class FeatureStore:
             self.vid_index[vid] = i
 
     @classmethod
-    def from_dir(cls, root: str, max_vlen: int) -> "FeatureStore":
+    def from_dir(cls, root: str, max_vlen: int,
+                 use_native: bool = True) -> "FeatureStore":
+        """Build the packed store straight from a feature directory.
+
+        Fast path: the multithreaded C++ loader (hual_tpu/native) parses,
+        downsamples and packs all .npy files directly into the (N, max_vlen,
+        D) block; any file it can't handle (and everything, if the toolchain
+        is missing) falls back to the NumPy path.
+        """
+        filenames = sorted(glob.glob(os.path.join(root, "*.npy")))
+        if use_native and filenames:
+            try:
+                from hual_tpu import native
+                first = np.load(filenames[0], mmap_mode="r")
+                vdim = int(first.shape[1])
+                del first
+                res = native.load_npy_batch(filenames, max_vlen, vdim)
+            except Exception:
+                res = None
+            if res is not None:
+                packed, lengths, statuses = res
+                store = cls.__new__(cls)
+                store.max_vlen = max_vlen
+                store.packed = packed
+                store.lengths = lengths.astype(np.int32)
+                store.vid_index = {}
+                for i, fn in enumerate(filenames):
+                    vid = os.path.basename(fn).rsplit(".", 1)[0]
+                    store.vid_index[vid] = i
+                    if statuses[i] != 0:  # numpy fallback for odd formats
+                        feat = visual_feature_sampling(np.load(fn), max_vlen)
+                        n = min(feat.shape[0], max_vlen)
+                        store.packed[i, :n] = feat[:n]
+                        store.packed[i, n:] = 0
+                        store.lengths[i] = n
+                return store
         return cls(load_video_features(root, max_vlen), max_vlen)
 
     def rows(self, vids: list[str]) -> np.ndarray:

@@ -1,0 +1,123 @@
+"""Round-loop orchestration plumbing (reference run_charades.py), hermetic:
+the heavy trainer is stubbed; label updates, config derivation, round
+artifacts, and the summary file are real."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_synthetic_data import make_dataset  # noqa: E402
+
+from hual_tpu.utils.io import load_json, save_pickle
+
+
+class StubTrainer:
+    def __init__(self, config):
+        self.config = config
+
+    def init_state(self):
+        pass
+
+    def train(self):
+        return {"r1i7": 10.0, "epoch": 0, "train_line": "t", "test_line": "t",
+                "test_metrics": {"r1i3": 30.0, "r1i5": 20.0, "r1i7": 10.0,
+                                 "miou": 25.0}}
+
+    def restore(self):
+        pass
+
+    def infer_trainset(self, save_path=None):
+        _write_fake_predictions(self.config, save_path)
+        return {"r1i3": 30.0, "r1i5": 20.0, "r1i7": 10.0, "miou": 25.0}
+
+
+def _write_fake_predictions(config, save_path, T=16):
+    rng = np.random.default_rng(0)
+    train = load_json(config.paths.train_path)
+    preds = []
+    for vid, dur, (s, e), sent in (r[:4] for r in train):
+        vlen = T
+        preds.append({
+            "vid": vid, "duration": dur, "psuedo_idx": [1, 5],
+            "sentence": sent.strip(), "v_len": vlen, "prop_idx": [2, 6],
+            "prop_logits": [rng.normal(size=T).astype(np.float32),
+                            rng.normal(size=T).astype(np.float32)],
+            "prop_logits1": [rng.normal(size=T).astype(np.float32),
+                             rng.normal(size=T).astype(np.float32)],
+            "prop_logits2": [rng.normal(size=T).astype(np.float32),
+                             rng.normal(size=T).astype(np.float32)],
+            "m_score": rng.uniform(size=(T, 4)).astype(np.float32),
+        })
+    save_pickle(preds, save_path)
+
+
+def test_run_rounds_plumbing(tmp_path, monkeypatch):
+    root = str(tmp_path)
+    make_dataset(root, task="charades", n_train=20, n_test=8, vdim=8,
+                 max_raw_len=16, seed=3)
+    monkeypatch.chdir(root)
+
+    # base config with reference-relative paths
+    cfg_dir = os.path.join(root, "configs", "charades")
+    os.makedirs(cfg_dir)
+    base_path = os.path.join(cfg_dir, "SeqPAN.yaml")
+    from hual_tpu.config import Config, PathsConfig, TrainConfig
+    cfg = Config(task="charades",
+                 paths=PathsConfig(feature_path="./data/features/charades_i3d",
+                                   glove_path="./data/glove/glove.840B.300d.txt",
+                                   train_path="./data/charades_gt/train.json",
+                                   test_path="./data/charades_gt/test.json"),
+                 train=TrainConfig(epochs=1, batch_size=4))
+    cfg.save(base_path)
+
+    # round-0 predictions (normally produced by infer_trainset on re0)
+    cfg_re0 = cfg.derive_round(0)
+    _write_fake_predictions(cfg_re0, "./results/charades/re0.pkl")
+
+    import hual_tpu.cli as cli
+    monkeypatch.setattr(cli, "build_trainer", lambda c: StubTrainer(c))
+
+    from hual_tpu.orchestrate import run_rounds
+    history = run_rounds("charades", rounds=2, base_config_path=base_path)
+
+    assert len(history) == 2
+    for i in (1, 2):
+        assert os.path.exists(f"./data/charades_re{i}/train.json")
+        assert os.path.exists(f"./data/charades_re{i}/test.json")
+        assert os.path.exists(f"./results/charades/re{i}.pkl")
+        assert os.path.exists(os.path.join(cfg_dir, f"SeqPAN_re{i}.yaml"))
+    with open("./results/charades/rounds_summary.json") as f:
+        summary = json.load(f)
+    assert summary[0]["round"] == 1
+    assert summary[0]["best"]["test_metrics"]["r1i7"] == 10.0
+
+    # round 2 builds on round 1's annotations: cumulative points grow
+    r1 = load_json("./data/charades_re1/train.json")
+    r2 = load_json("./data/charades_re2/train.json")
+    pts1 = sum(len(r[4]["pos_idx"]) + len(r[4]["neg_idx"]) for r in r1)
+    pts2 = sum(len(r[4]["pos_idx"]) + len(r[4]["neg_idx"]) for r in r2)
+    assert pts1 == 10  # ceil(20/2) annotations in round 1
+    assert pts2 == 20
+
+
+def test_summary_script(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(str(tmp_path))
+    os.makedirs("results/charades")
+    with open("results/charades/rounds_summary.json", "w") as f:
+        json.dump([{"round": 1,
+                    "label_stats": {"new_miou": 0.5},
+                    "best": {"test_metrics": {"r1i3": 1, "r1i5": 2,
+                                              "r1i7": 3, "miou": 4}}}], f)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "..", "scripts"))
+    import importlib
+    import summary_performance
+    importlib.reload(summary_performance)
+    monkeypatch.setattr(sys, "argv", ["summary_performance.py", "charades"])
+    assert summary_performance.main() == 0
+    out = capsys.readouterr().out
+    assert "re1" in out and "0.5000" in out
