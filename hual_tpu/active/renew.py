@@ -69,6 +69,16 @@ def _segmented_span_decode(start_score: np.ndarray, end_score: np.ndarray,
     return sidx, eidx
 
 
+def infer_idx(start_prob: np.ndarray, end_prob: np.ndarray) -> tuple[int, int]:
+    """Plain upper-triangular outer-product decode without segment
+    restrictions (reference infer_idx, utils/utils_hual.py:163-170; unused by
+    the main loop, kept for API parity)."""
+    outer = np.triu(start_prob[:, None] * end_prob[None, :], k=0)
+    sidx = int(np.argmax(np.max(outer, axis=1)))
+    eidx = int(np.argmax(np.max(outer, axis=0)))
+    return sidx, eidx
+
+
 def renew_label(old_idx, annotations: dict, sprob: np.ndarray, eprob: np.ndarray,
                 vlen: int, max_vlen: int, coff: RoundCoeffs) -> list[int]:
     """New [start, end] indices for one sample (reference update_label.py:85-123)."""

@@ -24,6 +24,12 @@ class BertAdamState(NamedTuple):
     nu: optax.Updates
 
 
+def count_params(params) -> int:
+    """Total trainable parameter count (reference count_params,
+    models/ops.py:59-63)."""
+    return int(sum(x.size for x in jax.tree.leaves(params)))
+
+
 def _decay_mask(params) -> optax.Params:
     """True where weight decay applies: path has no 'layer_norm'/'bias' part."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -94,8 +94,9 @@ class Trainer:
         params = jax.device_put(params, self._repl)
         opt_state = jax.device_put(self.tx.init(params), self._repl)
         self.state = TrainState(params=params, opt_state=opt_state)
-        n_params = sum(int(x.size) for x in jax.tree.leaves(params))
-        self.logger.info(f"initialized {self.config.model.name}: {n_params} params")
+        from hual_tpu.ops.optim import count_params
+        self.logger.info(f"initialized {self.config.model.name}: "
+                         f"{count_params(params)} params")
         return self.state
 
     def _put(self, batch: dict) -> dict:
@@ -246,10 +247,14 @@ class Trainer:
                             min(cfg.infer_batch_size, len(self.train_set)))
         rng = jax.random.key(cfg.train.seed if seed is None else seed)
         records = self.train_set.records
-        ious, save_list = [], []
+        # dispatch all batches asynchronously, convert afterwards
+        pending = []
         for bi, (sel, batch, n_valid) in enumerate(loader.batch_iter()):
             out = self._infer_step(self.state.params, self._put(batch),
                                    self.word_vectors, jax.random.fold_in(rng, bi))
+            pending.append((sel, n_valid, out))
+        ious, save_list = [], []
+        for sel, n_valid, out in pending:
             out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
             ious.append(out["ious"])
             for i in range(n_valid):

@@ -141,3 +141,11 @@ def miou_two_record_lists(data1: list, data2: list) -> float:
         assert x1[0] == x2[0]
         ious.append(calculate_iou(x1[2], x2[2]))
     return float(np.mean(ious))
+
+
+def miou_two_dataset(path1: str, path2: str) -> float:
+    """File-path variant (reference miou_two_dataset signature)."""
+    import json
+
+    with open(path1) as f1, open(path2) as f2:
+        return miou_two_record_lists(json.load(f1), json.load(f2))
