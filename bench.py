@@ -103,6 +103,18 @@ def main():
     infer_dt = time_loop(infer_once, n_warmup=3, n_iters=50)
     infer_pps = B / infer_dt
 
+    # large-batch inference (the AL train-set sweep runs at B=256 by default)
+    B_big = 256
+    (_, _, params_b, _, batch_b, wv_b, _, infer_step_b) = build(batch_size=B_big)
+    batch_b = jax.device_put(batch_b)
+    wv_b = jax.device_put(wv_b)
+
+    def infer_big():
+        return infer_step_b(params_b, batch_b, wv_b, rng)["ious"]
+
+    infer_big_dt = time_loop(infer_big, n_warmup=3, n_iters=20)
+    infer_big_pps = B_big / infer_big_dt
+
     # headline metric: train-step pairs/sec/chip on the parity config
     result = {
         "metric": "seqpan_charades_train_pairs_per_sec_per_chip",
@@ -113,6 +125,8 @@ def main():
             "train_step_ms": round(train_dt * 1e3, 3),
             "infer_step_ms": round(infer_dt * 1e3, 3),
             "infer_pairs_per_sec": round(infer_pps, 1),
+            "infer_b256_step_ms": round(infer_big_dt * 1e3, 3),
+            "infer_b256_pairs_per_sec": round(infer_big_pps, 1),
             "batch_size": B,
             "device": str(jax.devices()[0]),
         },

@@ -11,12 +11,40 @@ gets exactly one extra trace.
 from __future__ import annotations
 
 import math
-from typing import Iterator, Optional
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
 
 import numpy as np
 
 from hual_tpu.data.features import FeatureStore
 from hual_tpu.data.labels import make_span_labels
+
+
+def prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
+    """Run an iterator on a background thread with a bounded queue, so host
+    batch assembly (gather + label synthesis) overlaps device compute.
+    Exceptions from the producer re-raise at the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END, _ERR = object(), object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised on consumer side
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
 
 
 class PackedDataset:

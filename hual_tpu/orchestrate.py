@@ -30,8 +30,15 @@ DEFAULT_CONFIGS = {
 def run_rounds(task: str, rounds: int | None = None,
                base_config_path: str | None = None,
                start_round: int = 1, data_root: str = "./data",
-               results_root: str = "./results") -> list[dict]:
-    """The full HUAL loop; returns per-round stats + metrics."""
+               results_root: str = "./results",
+               max_retries: int = 1) -> list[dict]:
+    """The full HUAL loop; returns per-round stats + metrics.
+
+    Failure handling (reference run_*.py only checked os.system exit codes
+    and aborted): each round retries up to `max_retries` times before the
+    loop stops; completed rounds persist on disk, so a crashed loop resumes
+    with ``start_round=<next>``.
+    """
     from hual_tpu.cli import build_trainer  # deferred: heavy jax imports
 
     rounds = rounds or DEFAULT_ROUNDS.get(task, 3)
@@ -41,38 +48,53 @@ def run_rounds(task: str, rounds: int | None = None,
     history = []
 
     for round_idx in range(start_round, rounds + 1):
-        logger.info(f"=== round re{round_idx}: update labels ===")
-        stats = update_labels(task, round_idx, data_root=data_root,
-                              results_root=results_root)
-        logger.info(f"pseudo-label mIoU {stats['old_miou']:.4f} -> "
-                    f"{stats['new_miou']:.4f}")
-
-        cfg = base.derive_round(round_idx)
-        # persist the derived config next to the base one (reference
-        # generate_configs writes SeqPAN_re<I>.yaml)
-        stem, ext = os.path.splitext(base_config_path)
-        cfg.save(f"{stem}_re{round_idx}{ext}")
-
-        logger.info(f"=== round re{round_idx}: train ===")
-        trainer = build_trainer(cfg)
-        trainer.init_state()
-        best = trainer.train()
-
-        logger.info(f"=== round re{round_idx}: infer train set ===")
-        trainer.restore()
-        infer_metrics = trainer.infer_trainset(
-            save_path=os.path.join(results_root, task, f"re{round_idx}.pkl"))
-
-        history.append({"round": round_idx, "label_stats": stats,
-                        "best": {k: v for k, v in best.items()
-                                 if not k.endswith("_line")},
-                        "infer": infer_metrics})
+        for attempt in range(max_retries + 1):
+            try:
+                _run_one_round(task, round_idx, base, base_config_path,
+                               data_root, results_root, logger, history)
+                break
+            except Exception:
+                logger.exception(f"round re{round_idx} attempt {attempt} failed")
+                if attempt == max_retries:
+                    raise
         summary_path = os.path.join(results_root, task, "rounds_summary.json")
         os.makedirs(os.path.dirname(summary_path), exist_ok=True)
         with open(summary_path, "w") as f:
             import json
             json.dump(history, f, indent=2)
     return history
+
+
+def _run_one_round(task, round_idx, base, base_config_path, data_root,
+                   results_root, logger, history) -> None:
+    from hual_tpu.cli import build_trainer
+
+    logger.info(f"=== round re{round_idx}: update labels ===")
+    stats = update_labels(task, round_idx, data_root=data_root,
+                          results_root=results_root)
+    logger.info(f"pseudo-label mIoU {stats['old_miou']:.4f} -> "
+                f"{stats['new_miou']:.4f}")
+
+    cfg = base.derive_round(round_idx)
+    # persist the derived config next to the base one (reference
+    # generate_configs writes SeqPAN_re<I>.yaml)
+    stem, ext = os.path.splitext(base_config_path)
+    cfg.save(f"{stem}_re{round_idx}{ext}")
+
+    logger.info(f"=== round re{round_idx}: train ===")
+    trainer = build_trainer(cfg)
+    trainer.init_state()
+    best = trainer.train()
+
+    logger.info(f"=== round re{round_idx}: infer train set ===")
+    trainer.restore()
+    infer_metrics = trainer.infer_trainset(
+        save_path=os.path.join(results_root, task, f"re{round_idx}.pkl"))
+
+    history.append({"round": round_idx, "label_stats": stats,
+                    "best": {k: v for k, v in best.items()
+                             if not k.endswith("_line")},
+                    "infer": infer_metrics})
 
 
 def main(argv=None) -> int:

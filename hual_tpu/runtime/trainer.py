@@ -20,7 +20,7 @@ import orbax.checkpoint as ocp
 
 from hual_tpu.config import Config
 from hual_tpu.data.features import FeatureStore
-from hual_tpu.data.loader import EvalLoader, PackedDataset, TrainLoader
+from hual_tpu.data.loader import EvalLoader, PackedDataset, TrainLoader, prefetch
 from hual_tpu.models.registry import get_model_class
 from hual_tpu.ops.optim import make_optimizer
 from hual_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
@@ -124,7 +124,7 @@ class Trainer:
             t0 = time.time()
             ious, losses = [], []
             with trace(f"train_epoch_{epoch}"):
-                for _, batch in loader.batch_iter(epoch):
+                for _, batch in prefetch(loader.batch_iter(epoch), depth=2):
                     rng = jax.random.fold_in(base_rng, global_step)
                     timer.start()
                     state.params, state.opt_state, metrics = self._train_step(
@@ -225,9 +225,11 @@ class Trainer:
         ds = {"test": self.test_set, "val": self.val_set}[split]
         if ds is None:
             raise ValueError(f"{split} set is not available")
-        loader = EvalLoader(ds, self.config.eval_batch_size)
+        # pad_to_batch: eval is per-row independent, so padding the final
+        # ragged batch (dropped via n_valid) avoids a second XLA trace
+        loader = EvalLoader(ds, self.config.eval_batch_size, pad_to_batch=True)
         ious = []
-        for _, batch, n_valid in loader.batch_iter():
+        for _, batch, n_valid in prefetch(loader.batch_iter(), depth=2):
             out = self._eval_step(self.state.params, self._put(batch),
                                   self.word_vectors)
             ious.append((out["ious"], n_valid))  # stay async; sync at end
@@ -244,12 +246,14 @@ class Trainer:
         if save_path is None:
             save_path = f"./results/{cfg.task}/{cfg.suffix}.pkl"
         loader = EvalLoader(self.train_set,
-                            min(cfg.infer_batch_size, len(self.train_set)))
+                            min(cfg.infer_batch_size, len(self.train_set)),
+                            pad_to_batch=True)
         rng = jax.random.key(cfg.train.seed if seed is None else seed)
         records = self.train_set.records
         # dispatch all batches asynchronously, convert afterwards
         pending = []
-        for bi, (sel, batch, n_valid) in enumerate(loader.batch_iter()):
+        for bi, (sel, batch, n_valid) in enumerate(
+                prefetch(loader.batch_iter(), depth=2)):
             out = self._infer_step(self.state.params, self._put(batch),
                                    self.word_vectors, jax.random.fold_in(rng, bi))
             pending.append((sel, n_valid, out))
