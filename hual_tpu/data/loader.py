@@ -121,16 +121,21 @@ class TrainLoader:
             return len(self.dataset) // self.batch_size
         return math.ceil(len(self.dataset) / self.batch_size)
 
-    def batch_iter(self, epoch: Optional[int] = None) -> Iterator[tuple[np.ndarray, dict]]:
+    def index_iter(self, epoch: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Shuffled batch index arrays only — for the device-resident data
+        path, where batch assembly happens on device."""
         if epoch is None:
             epoch = self._epoch
             self._epoch += 1
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
-        perm = rng.permutation(len(self.dataset))
+        perm = rng.permutation(len(self.dataset)).astype(np.int32)
         stop = (len(perm) // self.batch_size * self.batch_size
                 if self.drop_remainder else len(perm))
         for lo in range(0, stop, self.batch_size):
-            sel = perm[lo:lo + self.batch_size]
+            yield perm[lo:lo + self.batch_size]
+
+    def batch_iter(self, epoch: Optional[int] = None) -> Iterator[tuple[np.ndarray, dict]]:
+        for sel in self.index_iter(epoch):
             yield sel, self.dataset.gather(sel, with_labels=True)
 
 
@@ -153,12 +158,16 @@ class EvalLoader:
     def num_batches(self) -> int:
         return math.ceil(len(self.dataset) / self.batch_size)
 
-    def batch_iter(self) -> Iterator[tuple[np.ndarray, dict, int]]:
+    def index_iter(self) -> Iterator[tuple[np.ndarray, int]]:
         n = len(self.dataset)
         for lo in range(0, n, self.batch_size):
-            sel = np.arange(lo, min(lo + self.batch_size, n))
+            sel = np.arange(lo, min(lo + self.batch_size, n), dtype=np.int32)
             n_valid = len(sel)
             if self.pad_to_batch and n_valid < self.batch_size:
                 sel = np.concatenate(
                     [sel, np.full(self.batch_size - n_valid, sel[-1], dtype=sel.dtype)])
+            yield sel, n_valid
+
+    def batch_iter(self) -> Iterator[tuple[np.ndarray, dict, int]]:
+        for sel, n_valid in self.index_iter():
             yield sel, self.dataset.gather(sel, with_labels=False), n_valid

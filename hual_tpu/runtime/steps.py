@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from hual_tpu.data.labels_jax import make_span_labels_jax
 from hual_tpu.models.seqpan import seqpan_loss
 
 
@@ -37,6 +38,35 @@ def device_ious(start_idx, end_idx, s_ind, e_ind, v_len, duration):
     union = jnp.maximum(pe, ge) - jnp.minimum(ps, gs)
     iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
     return jnp.maximum(iou, 0.0)
+
+
+def gather_batch(data: dict, sel: jnp.ndarray, with_labels: bool) -> dict:
+    """Assemble a batch ON DEVICE from the device-resident dataset.
+
+    ``data`` holds the whole split in HBM: ``features`` (n_videos, T, vdim)
+    plus per-sample columns; ``sel`` is the only thing the host sends per
+    step (B int32 indices).  Labels are synthesized on device too
+    (labels_jax), so a train step's host->device traffic is ~4B*B.
+    """
+    def take(name):
+        return jnp.take(data[name], sel, axis=0)
+
+    feat_rows = take("feat_rows")
+    batch = {
+        "video_features": jnp.take(data["features"], feat_rows, axis=0),
+        "video_seq_len": take("v_len"),
+        "word_ids": take("word_ids"),
+        "char_ids": take("char_ids"),
+        "s_ind": take("s_ind"),
+        "e_ind": take("e_ind"),
+        "duration": take("duration"),
+    }
+    if with_labels:
+        y1, y2, match, inner = make_span_labels_jax(
+            batch["s_ind"], batch["e_ind"], batch["video_seq_len"],
+            data["features"].shape[1])
+        batch.update(y1=y1, y2=y2, match_labels=match, inner_labels=inner)
+    return batch
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -105,3 +135,38 @@ def make_infer_step(model, mc_droprate: float = 0.5) -> Callable:
         }
 
     return infer_step
+
+
+# ----------------------------------------------------------------------
+# indexed (device-resident dataset) variants: the host sends only `sel`
+
+
+def make_train_step_indexed(model, tx, match_lambda: float,
+                            droprate: float) -> Callable:
+    base = make_train_step(model, tx, match_lambda, droprate)
+
+    def step(params, opt_state, data, sel, word_vectors, lr, rng):
+        batch = gather_batch(data, sel, with_labels=True)
+        return base(params, opt_state, batch, word_vectors, lr, rng)
+
+    return step
+
+
+def make_eval_step_indexed(model) -> Callable:
+    base = make_eval_step(model)
+
+    def step(params, data, sel, word_vectors):
+        return base(params, gather_batch(data, sel, with_labels=False),
+                    word_vectors)
+
+    return step
+
+
+def make_infer_step_indexed(model, mc_droprate: float = 0.5) -> Callable:
+    base = make_infer_step(model, mc_droprate)
+
+    def step(params, data, sel, word_vectors, rng):
+        return base(params, gather_batch(data, sel, with_labels=False),
+                    word_vectors, rng)
+
+    return step

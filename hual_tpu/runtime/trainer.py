@@ -20,13 +20,15 @@ import orbax.checkpoint as ocp
 
 from hual_tpu.config import Config
 from hual_tpu.data.features import FeatureStore
-from hual_tpu.data.loader import EvalLoader, PackedDataset, TrainLoader, prefetch
+from hual_tpu.data.loader import EvalLoader, PackedDataset, TrainLoader
 from hual_tpu.models.registry import get_model_class
 from hual_tpu.ops.optim import make_optimizer
 from hual_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from hual_tpu.runtime.logger import get_logger
 from hual_tpu.runtime.observability import MetricsWriter, StepTimer, trace
-from hual_tpu.runtime.steps import make_eval_step, make_infer_step, make_train_step
+from hual_tpu.runtime.steps import (make_eval_step_indexed,
+                                    make_infer_step_indexed,
+                                    make_train_step_indexed)
 from hual_tpu.utils.io import save_pickle
 from hual_tpu.utils.metrics import rank1_metrics
 
@@ -69,12 +71,23 @@ class Trainer:
         self.word_vectors = jax.device_put(
             jnp.asarray(dataset["word_vector"], jnp.float32), self._repl)
 
+        # device-resident data: the whole split lives in HBM; per step the
+        # host sends only the batch index vector.  This is both the natural
+        # TPU design (features pinned once, gathered on device) and the fix
+        # for per-step host<->device round-trip latency.
+        self._device_features = jax.device_put(feature_store.packed, self._repl)
+        self._train_data = self._device_data(self.train_set)
+        self._test_data = self._device_data(self.test_set)
+        self._val_data = (self._device_data(self.val_set)
+                          if self.val_set is not None else None)
+
         self._train_step = jax.jit(
-            make_train_step(self.model, self.tx, config.loss.match_lambda,
-                            config.train.droprate),
+            make_train_step_indexed(self.model, self.tx,
+                                    config.loss.match_lambda,
+                                    config.train.droprate),
             donate_argnums=(0, 1))
-        self._eval_step = jax.jit(make_eval_step(self.model))
-        self._infer_step = jax.jit(make_infer_step(self.model, 0.5))
+        self._eval_step = jax.jit(make_eval_step_indexed(self.model))
+        self._infer_step = jax.jit(make_infer_step_indexed(self.model, 0.5))
 
         self.state: Optional[TrainState] = None
         self.metrics = MetricsWriter(
@@ -102,6 +115,18 @@ class Trainer:
     def _put(self, batch: dict) -> dict:
         return {k: jax.device_put(v, self._batch_sh) for k, v in batch.items()}
 
+    def _device_data(self, packed: PackedDataset) -> dict:
+        cols = {"feat_rows": packed.feat_rows, "word_ids": packed.word_ids,
+                "char_ids": packed.char_ids, "s_ind": packed.s_ind,
+                "e_ind": packed.e_ind, "v_len": packed.v_len,
+                "duration": packed.duration}
+        data = {k: jax.device_put(v, self._repl) for k, v in cols.items()}
+        data["features"] = self._device_features
+        return data
+
+    def _put_sel(self, sel: np.ndarray) -> jax.Array:
+        return jax.device_put(np.ascontiguousarray(sel), self._batch_sh)
+
     # ------------------------------------------------------------------
     def train(self) -> dict[str, Any]:
         cfg = self.config
@@ -122,23 +147,25 @@ class Trainer:
             # linear LR decay (reference main.py:61)
             cur_lr = cfg.train.lr * (1.0 - epoch / cfg.train.epochs)
             t0 = time.time()
+            lr_arr = jnp.float32(cur_lr)
             ious, losses = [], []
             with trace(f"train_epoch_{epoch}"):
-                for _, batch in prefetch(loader.batch_iter(epoch), depth=2):
+                for sel in loader.index_iter(epoch):
                     rng = jax.random.fold_in(base_rng, global_step)
                     timer.start()
                     state.params, state.opt_state, metrics = self._train_step(
-                        state.params, state.opt_state, self._put(batch),
-                        self.word_vectors, jnp.float32(cur_lr), rng)
-                    # keep device arrays; conversion at epoch end so host
-                    # batch prep overlaps with async device dispatch
+                        state.params, state.opt_state, self._train_data,
+                        self._put_sel(sel), self.word_vectors, lr_arr, rng)
+                    # device arrays only; ONE fused fetch per epoch below
                     ious.append(metrics["ious"])
                     losses.append(metrics["loss"])
-                    timer.stop(batch["s_ind"].shape[0])
+                    timer.stop(len(sel))
                     global_step += 1
             state.step = global_step
-            train_m = rank1_metrics(np.concatenate([np.asarray(x) for x in ious]))
-            train_m["loss"] = float(np.mean([float(l) for l in losses]))
+            # single device-side concat -> single host fetch (per-array
+            # fetches through a tunneled device cost ~100 ms each)
+            train_m = rank1_metrics(np.asarray(jnp.concatenate(ious)))
+            train_m["loss"] = float(np.mean(np.asarray(jnp.stack(losses))))
             dt = time.time() - t0
             sps = loader.num_samples() / max(dt, 1e-9)
             train_line = ("TRAIN:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
@@ -223,18 +250,22 @@ class Trainer:
     def test(self, split: str = "test") -> dict[str, float]:
         assert self.state is not None
         ds = {"test": self.test_set, "val": self.val_set}[split]
+        data = {"test": self._test_data, "val": self._val_data}[split]
         if ds is None:
             raise ValueError(f"{split} set is not available")
         # pad_to_batch: eval is per-row independent, so padding the final
         # ragged batch (dropped via n_valid) avoids a second XLA trace
         loader = EvalLoader(ds, self.config.eval_batch_size, pad_to_batch=True)
-        ious = []
-        for _, batch, n_valid in prefetch(loader.batch_iter(), depth=2):
-            out = self._eval_step(self.state.params, self._put(batch),
-                                  self.word_vectors)
-            ious.append((out["ious"], n_valid))  # stay async; sync at end
-        return rank1_metrics(np.concatenate(
-            [np.asarray(x)[:n] for x, n in ious]))
+        ious, valid = [], []
+        for sel, n_valid in loader.index_iter():
+            out = self._eval_step(self.state.params, data,
+                                  self._put_sel(sel), self.word_vectors)
+            ious.append(out["ious"])
+            valid.append(n_valid)
+        flat = np.asarray(jnp.concatenate(ious))  # one fetch
+        B = loader.batch_size
+        kept = np.concatenate([flat[i * B:i * B + n] for i, n in enumerate(valid)])
+        return rank1_metrics(kept)
 
     # ------------------------------------------------------------------
     def infer_trainset(self, save_path: Optional[str] = None,
@@ -250,34 +281,42 @@ class Trainer:
                             pad_to_batch=True)
         rng = jax.random.key(cfg.train.seed if seed is None else seed)
         records = self.train_set.records
-        # dispatch all batches asynchronously, convert afterwards
-        pending = []
-        for bi, (sel, batch, n_valid) in enumerate(
-                prefetch(loader.batch_iter(), depth=2)):
-            out = self._infer_step(self.state.params, self._put(batch),
-                                   self.word_vectors, jax.random.fold_in(rng, bi))
-            pending.append((sel, n_valid, out))
-        ious, save_list = [], []
-        for sel, n_valid, out in pending:
-            out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
-            ious.append(out["ious"])
-            for i in range(n_valid):
-                rec = records[sel[i]]
-                save_list.append({
-                    "vid": rec["vid"],
-                    "duration": rec["duration"],
-                    "psuedo_idx": [rec["s_ind"], rec["e_ind"]],
-                    "sentence": " ".join(rec["words"]),
-                    "v_len": int(rec["v_len"]),
-                    "prop_idx": [int(out["start_index"][i]),
-                                 int(out["end_index"][i])],
-                    "prop_logits": [out["start_logits"][i], out["end_logits"][i]],
-                    "prop_logits1": [out["start_logits1"][i], out["end_logits1"][i]],
-                    "prop_logits2": [out["start_logits2"][i], out["end_logits2"][i]],
-                    "m_score": out["match_scores"][i],
-                })
+        # dispatch every batch, then fetch each output field ONCE via a
+        # device-side concat (per-batch fetches through a tunneled device
+        # cost ~100 ms of latency each)
+        per_field: dict[str, list] = {}
+        n_valids = []
+        for bi, (sel, n_valid) in enumerate(loader.index_iter()):
+            out = self._infer_step(self.state.params, self._train_data,
+                                   self._put_sel(sel), self.word_vectors,
+                                   jax.random.fold_in(rng, bi))
+            n_valids.append(n_valid)
+            for k, v in out.items():
+                per_field.setdefault(k, []).append(v)
+        B = loader.batch_size
+        host: dict[str, np.ndarray] = {}
+        for k, chunks in per_field.items():
+            flat = np.asarray(jnp.concatenate(chunks, axis=0))
+            host[k] = np.concatenate(
+                [flat[i * B:i * B + n] for i, n in enumerate(n_valids)], axis=0)
+
+        save_list = []
+        for i, rec in enumerate(records):
+            save_list.append({
+                "vid": rec["vid"],
+                "duration": rec["duration"],
+                "psuedo_idx": [rec["s_ind"], rec["e_ind"]],
+                "sentence": " ".join(rec["words"]),
+                "v_len": int(rec["v_len"]),
+                "prop_idx": [int(host["start_index"][i]),
+                             int(host["end_index"][i])],
+                "prop_logits": [host["start_logits"][i], host["end_logits"][i]],
+                "prop_logits1": [host["start_logits1"][i], host["end_logits1"][i]],
+                "prop_logits2": [host["start_logits2"][i], host["end_logits2"][i]],
+                "m_score": host["match_scores"][i],
+            })
         save_pickle(save_list, save_path)
-        metrics = rank1_metrics(np.concatenate(ious))
+        metrics = rank1_metrics(host["ious"])
         self.logger.info(
             "predict train set:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
             .format(**metrics))

@@ -83,6 +83,45 @@ def test_dp_train_step_matches_single_device(setup):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_indexed_steps_dp_sharded(setup):
+    """The production data path: device-resident dataset (replicated), sel
+    sharded over the data axis, labels synthesized on device."""
+    from hual_tpu.runtime.steps import (make_eval_step_indexed,
+                                        make_train_step_indexed)
+
+    model, tx, batch, wv, params = setup
+    B = batch["s_ind"].shape[0]
+    mesh = make_mesh()
+    repl, bsh = replicated(mesh), batch_sharding(mesh)
+    data = {
+        "features": batch["video_features"],
+        "feat_rows": np.arange(B, dtype=np.int32),
+        "word_ids": batch["word_ids"], "char_ids": batch["char_ids"],
+        "s_ind": batch["s_ind"], "e_ind": batch["e_ind"],
+        "v_len": batch["video_seq_len"], "duration": batch["duration"],
+    }
+    data = {k: jax.device_put(v, repl) for k, v in data.items()}
+    sel = jax.device_put(np.arange(B, dtype=np.int32), bsh)
+
+    # indexed train step == batch train step numerics
+    t_idx = jax.jit(make_train_step_indexed(model, tx, 1.0, 0.0))
+    t_batch = jax.jit(make_train_step(model, tx, 1.0, 0.0))
+    lr, rng = jnp.float32(1e-3), jax.random.key(5)
+    p1, o1, m1 = t_idx(jax.device_put(params, repl),
+                       jax.device_put(tx.init(params), repl), data, sel,
+                       jax.device_put(wv, repl), lr, rng)
+    p2, o2, m2 = t_batch(params, tx.init(params), batch, wv, lr, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+    e_idx = jax.jit(make_eval_step_indexed(model))
+    out = e_idx(jax.device_put(params, repl), data, sel,
+                jax.device_put(wv, repl))
+    assert out["ious"].shape == (B,)
+
+
 def test_dp_infer_step_runs_sharded(setup):
     model, _, batch, wv, params = setup
     infer_step = jax.jit(make_infer_step(model, 0.5))

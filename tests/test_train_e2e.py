@@ -113,6 +113,24 @@ def test_infer_trainset_pickle_schema(trained):
     assert metrics["miou"] > 0
 
 
+def test_full_state_save_load_roundtrip(trained):
+    workdir, _, trainer, _ = trained
+    import jax
+    import numpy as np
+    path = os.path.join(workdir, "ckpt", "resume_state")
+    trainer.save_state(path)
+    before = jax.device_get(trainer.state.params)
+    step_before = trainer.state.step
+    # perturb, then restore
+    trainer.state.params = jax.tree.map(lambda x: x * 0, trainer.state.params)
+    trainer.state.step = -1
+    trainer.load_state(path)
+    after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert trainer.state.step == step_before
+
+
 def test_active_learning_round(trained):
     workdir, _, _, _ = trained
     from hual_tpu.active.engine import update_labels
