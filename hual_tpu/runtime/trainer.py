@@ -41,9 +41,20 @@ class TrainState:
     best_r1i7: float = -1.0
 
 
+def _enable_persistent_compile_cache() -> None:
+    """XLA executables cached on disk: later rounds / processes with the
+    same shapes skip recompilation (compiles through the tunneled TPU cost
+    minutes and dominate short runs)."""
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/hual_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 class Trainer:
     def __init__(self, config: Config, dataset: dict,
                  feature_store: FeatureStore, mesh=None, logger=None):
+        _enable_persistent_compile_cache()
         self.config = config
         self.dataset = dataset
         self.features = feature_store
@@ -175,6 +186,8 @@ class Trainer:
                              f"({sps:.0f} pairs/s)")
             self.logger.info(train_line)
 
+            train_wall = time.time() - t0
+            t1 = time.time()
             test_m = self.test()
             test_line = ("TEST:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
                          .format(**test_m))
@@ -182,7 +195,11 @@ class Trainer:
             self.metrics.write("epoch", epoch=epoch, lr=cur_lr,
                                train=train_m, test=test_m,
                                pairs_per_sec=timer.pairs_per_sec,
-                               step_ms=timer.mean_step_ms)
+                               step_ms=timer.mean_step_ms,
+                               train_wall_s=train_wall,
+                               eval_wall_s=time.time() - t1)
+            self.last_epoch_wall = {"train_s": train_wall,
+                                    "eval_s": time.time() - t1}
 
             # keep the checkpoint at best test R1@IoU0.7 (reference main.py:70-75)
             if test_m["r1i7"] > best["r1i7"]:

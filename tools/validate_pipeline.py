@@ -79,12 +79,21 @@ def main() -> int:
     times["train_total_s"] = round(time.time() - t0, 2)
     times["train_epoch_s"] = round(times["train_total_s"] / a.epochs, 2)
     times["train_pairs_per_sec"] = round(best.get("pairs_per_sec", 0.0), 1)
+    # steady-state epoch cost (last epoch; excludes one-time compiles)
+    steady = getattr(trainer, "last_epoch_wall",
+                     {"train_s": times["train_epoch_s"], "eval_s": 0.0})
+    times["steady_train_epoch_s"] = round(steady["train_s"], 2)
+    times["steady_eval_s"] = round(steady["eval_s"], 2)
 
-    t0 = time.time()
     trainer.restore()
+    t0 = time.time()
     m = trainer.infer_trainset(
         save_path=os.path.join(root, "results/charades/re0.pkl"))
     times["infer_trainset_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    trainer.infer_trainset(
+        save_path=os.path.join(root, "results/charades/re0.pkl"))
+    times["infer_trainset_steady_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     from hual_tpu.active.engine import update_labels
@@ -93,12 +102,19 @@ def main() -> int:
                           results_root=os.path.join(root, "results"))
     times["label_update_s"] = round(time.time() - t0, 2)
 
-    # extrapolate: full charades = 12403 train / 3720 test, 50 epochs, 3 rounds
+    # extrapolate from steady-state: full charades = 12403 train / 3720 test,
+    # 50 epochs/round, 3 rounds; one-time compiles counted once per round
     scale_train = 12403 / a.n_train
     scale_test = 3720 / a.n_test
-    per_round = (times["train_epoch_s"] * scale_train * 50
-                 + times["infer_trainset_s"] * scale_train
+    compile_overhead = max(0.0, times["train_total_s"]
+                           - a.epochs * (times["steady_train_epoch_s"]
+                                         + times["steady_eval_s"]))
+    per_round = (compile_overhead
+                 + (times["steady_train_epoch_s"] * scale_train
+                    + times["steady_eval_s"] * scale_test) * 50
+                 + times["infer_trainset_steady_s"] * scale_train
                  + times["label_update_s"] * scale_train)
+    times["compile_overhead_s"] = round(compile_overhead, 1)
     times["extrapolated_full_round_s"] = round(per_round, 1)
     times["extrapolated_3round_loop_min"] = round(per_round * 3 / 60, 1)
     times["best_r1i7"] = best["r1i7"]
