@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Throughput benchmark on the real TPU chip.
 
-Measures the parity workload — SeqPAN train steps at the Charades config
-shapes (B=16, T=64, vdim=1024, dim=128, heads=8, 2 attn layers; reference
-configs/charades/SeqPAN.yaml) — plus the MC-dropout inference step (the
-active-learning bottleneck: 3 forward passes per batch).
+Measures the PRODUCTION data path — device-resident dataset, jitted indexed
+steps — at the Charades parity shapes (B=16, T=64, vdim=1024, dim=128,
+heads=8, 2 attn layers; reference configs/charades/SeqPAN.yaml): the train
+step (fwd + 3 losses + AdamW + span decode + on-device IoU) and the
+MC-dropout inference step (clean + 2 stochastic forwards) at the AL-sweep
+batch size 256.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -24,49 +26,50 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC_ESTIMATE = 400.0
 
 
-def build(batch_size=16, T=64, W=14, C=12, V=1024, dim=128, heads=8, layers=2,
-          vocab=8000, chars=100):
+def build(n_samples=2000, T=64, W=14, C=12, V=1024, dim=128, heads=8,
+          layers=2, vocab=8000, chars=100):
     import jax
+    import jax.numpy as jnp
 
-    from hual_tpu.data.labels import make_span_labels
     from hual_tpu.models.seqpan import SeqPAN
     from hual_tpu.ops.optim import make_optimizer
-    from hual_tpu.runtime.steps import make_infer_step, make_train_step
+    from hual_tpu.runtime.steps import (gather_batch, make_infer_step_indexed,
+                                        make_train_step_indexed)
 
     rng = np.random.default_rng(0)
-    B = batch_size
-    batch = {
-        "video_features": rng.normal(size=(B, T, V)).astype(np.float32),
-        "video_seq_len": np.full(B, T, np.int32),
-        "word_ids": rng.integers(1, vocab, size=(B, W)).astype(np.int32),
-        "char_ids": rng.integers(0, chars, size=(B, W, C)).astype(np.int32),
-        "duration": rng.uniform(15, 40, size=B).astype(np.float32),
+    N = n_samples
+    s = rng.integers(0, T // 2, N).astype(np.int32)
+    data_np = {
+        "features": rng.normal(size=(N, T, V)).astype(np.float32),
+        "feat_rows": np.arange(N, dtype=np.int32),
+        "v_len": np.full(N, T, np.int32),
+        "word_ids": rng.integers(1, vocab, size=(N, W)).astype(np.int32),
+        "char_ids": rng.integers(0, chars, size=(N, W, C)).astype(np.int32),
+        "duration": rng.uniform(15, 40, size=N).astype(np.float32),
+        "s_ind": s,
+        "e_ind": np.minimum(s + rng.integers(1, T // 2, N), T - 1).astype(np.int32),
     }
-    s = rng.integers(0, T // 2, B).astype(np.int32)
-    e = (s + rng.integers(1, T // 2, B)).astype(np.int32)
-    batch["s_ind"], batch["e_ind"] = s, np.minimum(e, T - 1)
-    y1, y2, match, inner = make_span_labels(batch["s_ind"], batch["e_ind"],
-                                            batch["video_seq_len"], T)
-    batch.update(y1=y1, y2=y2, match_labels=match,
-                 inner_labels=inner.astype(np.float32))
+    data = {k: jax.device_put(v) for k, v in data_np.items()}
+    wv = jax.device_put(rng.normal(size=(vocab, 300)).astype(np.float32))
 
     model = SeqPAN(dim=dim, num_heads=heads, attn_layer=layers, max_vlen=T,
                    word_dim=300, char_dim=50, num_chars=chars)
-    wv = rng.normal(size=(vocab, 300)).astype(np.float32)
-    params = model.init({"params": jax.random.key(0)}, batch, wv, 0.0,
-                        batch["match_labels"], deterministic=True)
+    sel0 = np.arange(16, dtype=np.int32)
+    batch0 = jax.jit(lambda d, s: gather_batch(d, s, True))(data, sel0)
+    params = model.init({"params": jax.random.key(0)}, batch0, wv, 0.0,
+                        batch0["match_labels"], deterministic=True)
     tx = make_optimizer(1.0, 0.01)
     opt_state = tx.init(params)
-    train_step = jax.jit(make_train_step(model, tx, 1.0, 0.2),
+    train_step = jax.jit(make_train_step_indexed(model, tx, 1.0, 0.2),
                          donate_argnums=(0, 1))
-    infer_step = jax.jit(make_infer_step(model, 0.5))
-    return (jax, model, params, opt_state, batch, wv, train_step, infer_step)
+    infer_step = jax.jit(make_infer_step_indexed(model, 0.5))
+    return jax, data, wv, params, opt_state, train_step, infer_step
 
 
-def time_loop(fn, n_warmup, n_iters):
+def time_loop(jax, fn, n_warmup, n_iters):
+    out = None
     for _ in range(n_warmup):
         out = fn()
-    import jax
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -76,46 +79,37 @@ def time_loop(fn, n_warmup, n_iters):
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
+    jax, data, wv, params, opt_state, train_step, infer_step = build()
+    import jax as jax_mod
+
     B = 16
-    (jax_mod, model, params, opt_state, batch, wv, train_step,
-     infer_step) = build(batch_size=B)
-    batch = jax.device_put(batch)
-    wv = jax.device_put(wv)
     lr = jnp.float32(1e-4)
     rng = jax.random.key(0)
-
-    state = {"params": params, "opt": opt_state}
+    sels = [jax.device_put(np.random.default_rng(i).integers(
+        0, 2000, B).astype(np.int32)) for i in range(64)]
+    state = {"params": params, "opt": opt_state, "i": 0}
 
     def train_once():
+        state["i"] += 1
         state["params"], state["opt"], m = train_step(
-            state["params"], state["opt"], batch, wv, lr, rng)
+            state["params"], state["opt"], data, sels[state["i"] % 64],
+            wv, lr, rng)
         return m["loss"]
 
-    train_dt = time_loop(train_once, n_warmup=3, n_iters=50)
+    train_dt = time_loop(jax, train_once, n_warmup=3, n_iters=50)
     train_pps = B / train_dt
 
-    def infer_once():
-        return infer_step(state["params"], batch, wv, rng)["ious"]
-
-    infer_dt = time_loop(infer_once, n_warmup=3, n_iters=50)
-    infer_pps = B / infer_dt
-
-    # large-batch inference (the AL train-set sweep runs at B=256 by default)
     B_big = 256
-    (_, _, params_b, _, batch_b, wv_b, _, infer_step_b) = build(batch_size=B_big)
-    batch_b = jax.device_put(batch_b)
-    wv_b = jax.device_put(wv_b)
+    sel_big = jax.device_put(np.arange(B_big, dtype=np.int32))
 
-    def infer_big():
-        return infer_step_b(params_b, batch_b, wv_b, rng)["ious"]
+    def infer_once():
+        return infer_step(state["params"], data, sel_big, wv, rng)["ious"]
 
-    infer_big_dt = time_loop(infer_big, n_warmup=3, n_iters=20)
-    infer_big_pps = B_big / infer_big_dt
+    infer_dt = time_loop(jax, infer_once, n_warmup=3, n_iters=20)
+    infer_pps = B_big / infer_dt
 
-    # headline metric: train-step pairs/sec/chip on the parity config
     result = {
         "metric": "seqpan_charades_train_pairs_per_sec_per_chip",
         "value": round(train_pps, 1),
@@ -123,11 +117,10 @@ def main():
         "vs_baseline": round(train_pps / REFERENCE_PAIRS_PER_SEC_ESTIMATE, 2),
         "extra": {
             "train_step_ms": round(train_dt * 1e3, 3),
-            "infer_step_ms": round(infer_dt * 1e3, 3),
-            "infer_pairs_per_sec": round(infer_pps, 1),
-            "infer_b256_step_ms": round(infer_big_dt * 1e3, 3),
-            "infer_b256_pairs_per_sec": round(infer_big_pps, 1),
+            "infer_b256_step_ms": round(infer_dt * 1e3, 3),
+            "infer_b256_pairs_per_sec": round(infer_pps, 1),
             "batch_size": B,
+            "path": "device-resident indexed steps (production loop)",
             "device": str(jax.devices()[0]),
         },
     }
