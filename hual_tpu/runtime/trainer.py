@@ -55,6 +55,9 @@ class Trainer:
     def __init__(self, config: Config, dataset: dict,
                  feature_store: FeatureStore, mesh=None, logger=None):
         _enable_persistent_compile_cache()
+        if config.model.matmul_precision != "default":
+            jax.config.update("jax_default_matmul_precision",
+                              config.model.matmul_precision)
         self.config = config
         self.dataset = dataset
         self.features = feature_store

@@ -104,6 +104,43 @@ def test_run_rounds_plumbing(tmp_path, monkeypatch):
     assert pts2 == 20
 
 
+def test_run_rounds_retry_on_transient_failure(tmp_path, monkeypatch):
+    """A round that fails once is retried (reference run_*.py aborted the
+    whole chain on any nonzero exit)."""
+    root = str(tmp_path)
+    make_dataset(root, task="charades", n_train=12, n_test=4, vdim=8,
+                 max_raw_len=16, seed=5)
+    monkeypatch.chdir(root)
+    cfg_dir = os.path.join(root, "configs", "charades")
+    os.makedirs(cfg_dir)
+    base_path = os.path.join(cfg_dir, "SeqPAN.yaml")
+    from hual_tpu.config import Config, PathsConfig, TrainConfig
+    cfg = Config(task="charades",
+                 paths=PathsConfig(feature_path="./data/features/charades_i3d",
+                                   glove_path="./data/glove/glove.840B.300d.txt",
+                                   train_path="./data/charades_gt/train.json",
+                                   test_path="./data/charades_gt/test.json"),
+                 train=TrainConfig(epochs=1, batch_size=4))
+    cfg.save(base_path)
+    _write_fake_predictions(cfg.derive_round(0), "./results/charades/re0.pkl")
+
+    calls = {"n": 0}
+
+    class FlakyTrainer(StubTrainer):
+        def train(self):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient device error")
+            return super().train()
+
+    import hual_tpu.cli as cli
+    monkeypatch.setattr(cli, "build_trainer", lambda c: FlakyTrainer(c))
+    from hual_tpu.orchestrate import run_rounds
+    history = run_rounds("charades", rounds=1, base_config_path=base_path,
+                         max_retries=1)
+    assert len(history) == 1 and calls["n"] == 2
+
+
 def test_summary_script(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(str(tmp_path))
     os.makedirs("results/charades")
