@@ -152,6 +152,35 @@ def make_train_step_indexed(model, tx, match_lambda: float,
     return step
 
 
+def make_train_epoch_indexed(model, tx, match_lambda: float,
+                             droprate: float) -> Callable:
+    """A whole epoch of train steps as ONE compiled program.
+
+    lax.scan over the (n_batches, B) shuffled index matrix: each scan
+    iteration is exactly one train step (same per-step RNG stream as the
+    per-step path: rng = fold_in(base_rng, global_step)).  One dispatch +
+    one metrics fetch per epoch — the host is out of the loop entirely.
+    """
+    step = make_train_step_indexed(model, tx, match_lambda, droprate)
+
+    def epoch_fn(params, opt_state, data, sels, word_vectors, lr, base_rng,
+                 step0):
+        steps = step0 + jnp.arange(sels.shape[0], dtype=jnp.int32)
+
+        def body(carry, inp):
+            p, o = carry
+            sel, i = inp
+            rng = jax.random.fold_in(base_rng, i)
+            p, o, metrics = step(p, o, data, sel, word_vectors, lr, rng)
+            return (p, o), (metrics["loss"], metrics["ious"])
+
+        (params, opt_state), (losses, ious) = jax.lax.scan(
+            body, (params, opt_state), (sels, steps))
+        return params, opt_state, losses, ious
+
+    return epoch_fn
+
+
 def make_eval_step_indexed(model) -> Callable:
     base = make_eval_step(model)
 

@@ -28,6 +28,7 @@ from hual_tpu.runtime.logger import get_logger
 from hual_tpu.runtime.observability import MetricsWriter, StepTimer, trace
 from hual_tpu.runtime.steps import (make_eval_step_indexed,
                                     make_infer_step_indexed,
+                                    make_train_epoch_indexed,
                                     make_train_step_indexed)
 from hual_tpu.utils.io import save_pickle
 from hual_tpu.utils.metrics import rank1_metrics
@@ -100,6 +101,11 @@ class Trainer:
                                     config.loss.match_lambda,
                                     config.train.droprate),
             donate_argnums=(0, 1))
+        self._train_epoch = jax.jit(
+            make_train_epoch_indexed(self.model, self.tx,
+                                     config.loss.match_lambda,
+                                     config.train.droprate),
+            donate_argnums=(0, 1))
         self._eval_step = jax.jit(make_eval_step_indexed(self.model))
         self._infer_step = jax.jit(make_infer_step_indexed(self.model, 0.5))
 
@@ -156,30 +162,44 @@ class Trainer:
         os.makedirs(model_dir, exist_ok=True)
 
         global_step = state.step
-        timer = StepTimer(warmup_steps=2)
+        timer = StepTimer(warmup_steps=1)  # per-epoch timing; epoch 0 compiles
         for epoch in range(cfg.train.epochs):
             # linear LR decay (reference main.py:61)
             cur_lr = cfg.train.lr * (1.0 - epoch / cfg.train.epochs)
             t0 = time.time()
             lr_arr = jnp.float32(cur_lr)
-            ious, losses = [], []
             with trace(f"train_epoch_{epoch}"):
-                for sel in loader.index_iter(epoch):
+                # all full-size batches: ONE scanned dispatch for the epoch;
+                # the ragged remainder (if any) is one extra step call
+                all_sels = list(loader.index_iter(epoch))
+                full = [s for s in all_sels if len(s) == loader.batch_size]
+                rest = [s for s in all_sels if len(s) != loader.batch_size]
+                timer.start()
+                ious_parts, losses_parts = [], []
+                if full:
+                    sels_dev = jax.device_put(np.stack(full), self._repl)
+                    (state.params, state.opt_state, losses,
+                     ious) = self._train_epoch(
+                        state.params, state.opt_state, self._train_data,
+                        sels_dev, self.word_vectors, lr_arr, base_rng,
+                        jnp.int32(global_step))
+                    global_step += len(full)
+                    ious_parts.append(ious.reshape(-1))
+                    losses_parts.append(losses)
+                for sel in rest:
                     rng = jax.random.fold_in(base_rng, global_step)
-                    timer.start()
                     state.params, state.opt_state, metrics = self._train_step(
                         state.params, state.opt_state, self._train_data,
                         self._put_sel(sel), self.word_vectors, lr_arr, rng)
-                    # device arrays only; ONE fused fetch per epoch below
-                    ious.append(metrics["ious"])
-                    losses.append(metrics["loss"])
-                    timer.stop(len(sel))
+                    ious_parts.append(metrics["ious"])
+                    losses_parts.append(metrics["loss"][None])
                     global_step += 1
+                timer.stop(loader.num_samples())
             state.step = global_step
-            # single device-side concat -> single host fetch (per-array
-            # fetches through a tunneled device cost ~100 ms each)
-            train_m = rank1_metrics(np.asarray(jnp.concatenate(ious)))
-            train_m["loss"] = float(np.mean(np.asarray(jnp.stack(losses))))
+            # one device-side concat -> one host fetch per epoch
+            train_m = rank1_metrics(np.asarray(jnp.concatenate(ious_parts)))
+            train_m["loss"] = float(np.mean(np.asarray(
+                jnp.concatenate(losses_parts))))
             dt = time.time() - t0
             sps = loader.num_samples() / max(dt, 1e-9)
             train_line = ("TRAIN:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
