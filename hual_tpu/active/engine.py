@@ -73,21 +73,65 @@ def rank_uncertainty(data_old: list, data_gt: list, last_prop: list,
     return res
 
 
+def choose_observation_point(record: dict, strategy: str,
+                             rng: np.random.Generator | None) -> int:
+    """Which frame to ask the expert about.
+
+    * ``uncertainty`` — argmax of the per-frame acquisition score (the HUAL
+      method, reference update_label.py:197);
+    * ``random`` / ``dichotomy`` — the paper's ablation strategies.  The
+      reference repo ships their OUTPUT data (data/ablation/
+      charades_{random,dichotomy}_re*/) but not the code; re-implemented
+      here: random = uniform frame in [0, vlen); dichotomy = midpoint of the
+      largest unannotated segment (binary-search-style).
+    """
+    if strategy == "uncertainty":
+        return int(np.argmax(record["uncert_frame"]))
+    if strategy == "random":
+        assert rng is not None
+        return int(rng.integers(0, record["vlen"]))
+    if strategy == "dichotomy":
+        from hual_tpu.active.uncertainty import fill_isactivate, zero_runs
+
+        ap = record["old_ap"]
+        segs = zero_runs(fill_isactivate(ap["pos_idx"], ap["neg_idx"],
+                                         record["vlen"], record["max_vlen"]))
+        if not segs:
+            return int(record["vlen"] // 2)
+        s, e = max(segs, key=lambda se: se[1] - se[0])
+        return int((s + e) // 2)
+    raise ValueError(f"unknown point strategy '{strategy}'")
+
+
 def renew_dataset(data_old: list, data_gt: list, last_prop: list,
-                  coff: RoundCoeffs) -> tuple[list, dict]:
+                  coff: RoundCoeffs, selection: str = "half",
+                  point_strategy: str = "uncertainty",
+                  seed: int = 12345) -> tuple[list, dict]:
     """One full label-update pass; mutates and returns data_old
-    (reference update_label.py main, :173-208)."""
+    (reference update_label.py main, :173-208).
+
+    ``selection``: 'half' annotates the first ceil(N/2) of the
+    ascending-uncertainty ranking (reference behavior); 'all' annotates every
+    sample each round (the budget used by the shipped ablation data, where
+    re4 records carry exactly 4 points).
+    """
     # first round: attach empty annotation state as the 5th field
     if len(data_old[0]) == 4:
         for rec in data_old:
             rec.append({"pos_idx": [], "neg_idx": []})
 
     ranking = rank_uncertainty(data_old, data_gt, last_prop, coff)
+    rng = np.random.default_rng(seed) if point_strategy == "random" else None
     iou_pos, iou_neg = [], []
-    n_select = int(np.ceil(len(ranking) / 2))
+    if selection == "half":
+        n_select = int(np.ceil(len(ranking) / 2))
+    elif selection == "all":
+        n_select = len(ranking)
+    else:
+        raise ValueError(f"unknown selection '{selection}'")
     for record in ranking[:n_select]:
         idx = record["idx"]
-        observe_point = int(np.argmax(record["uncert_frame"]))
+        observe_point = choose_observation_point(record, point_strategy, rng)
         new_ap = append_annotation(observe_point, record["old_ap"],
                                    record["gt_idx"])
         new_idx = renew_label(record["old_idx"], new_ap, record["sprob"],
@@ -109,7 +153,9 @@ def renew_dataset(data_old: list, data_gt: list, last_prop: list,
 
 def update_labels(task: str, round_idx: int, data_root: str = "./data",
                   results_root: str = "./results",
-                  table: dict = F_RENEW) -> dict:
+                  table: dict = F_RENEW, selection: str = "half",
+                  point_strategy: str = "uncertainty",
+                  seed: int = 12345) -> dict:
     """File-level round driver (reference update_label.py:220-238): reads the
     previous round's train.json + prediction pickle + GT, writes the next
     round's train.json, copies GT test.json, reports pseudo-label mIoU."""
@@ -124,7 +170,9 @@ def update_labels(task: str, round_idx: int, data_root: str = "./data",
     last_prop = load_pickle(prop_path)
 
     old_miou = miou_two_record_lists(data_gt, data_old)
-    data_new, stats = renew_dataset(data_old, data_gt, last_prop, coff)
+    data_new, stats = renew_dataset(data_old, data_gt, last_prop, coff,
+                                    selection=selection,
+                                    point_strategy=point_strategy, seed=seed)
 
     os.makedirs(os.path.dirname(new_path), exist_ok=True)
     save_json(data_new, new_path)

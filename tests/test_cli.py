@@ -1,0 +1,60 @@
+"""CLI surface end-to-end (reference main.py modes) on synthetic data."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_synthetic_data import make_dataset  # noqa: E402
+
+from hual_tpu.cli import main as cli_main  # noqa: E402
+from hual_tpu.config import Config, LossConfig, ModelConfig, PathsConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli"))
+    make_dataset(root, task="charades", n_train=24, n_test=8, vdim=32,
+                 max_raw_len=24, seed=11)
+    cfg = Config(
+        task="charades", suffix="re0",
+        paths=PathsConfig(
+            ckpt_dir=os.path.join(root, "ckpt"),
+            cache_dir=os.path.join(root, "data_pkl"),
+            feature_path=os.path.join(root, "data/features/charades_i3d"),
+            glove_path=os.path.join(root, "data/glove/glove.840B.300d.txt"),
+            train_path=os.path.join(root, "data/charades_re0/train.json"),
+            test_path=os.path.join(root, "data/charades_re0/test.json"),
+        ),
+        train=TrainConfig(epochs=1, batch_size=8, lr=1e-3),
+        model=ModelConfig(max_vlen=16, vdim=32, dim=32, num_heads=4,
+                          char_dim=8, attn_layer=1),
+        loss=LossConfig(),
+    )
+    cfg_path = os.path.join(root, "SeqPAN.yaml")
+    cfg.save(cfg_path)
+    return root, cfg_path
+
+
+def test_cli_train_test_infer(cli_env, monkeypatch):
+    root, cfg_path = cli_env
+    monkeypatch.chdir(root)
+    # --mode train writes a best checkpoint
+    assert cli_main(["--config", cfg_path, "--mode", "train",
+                     "--suffix", "re0"]) == 0
+    assert os.path.isdir(os.path.join(root, "ckpt", "charades_re0", "best"))
+    # --mode test restores it
+    assert cli_main(["--config", cfg_path, "--mode", "test",
+                     "--suffix", "re0"]) == 0
+    # --mode infer_trainset writes the round pickle
+    assert cli_main(["--config", cfg_path, "--mode", "infer_trainset",
+                     "--suffix", "re0"]) == 0
+    assert os.path.exists(os.path.join(root, "results", "charades", "re0.pkl"))
+
+
+def test_cli_debug_flag_limits_epochs(cli_env, monkeypatch):
+    root, cfg_path = cli_env
+    monkeypatch.chdir(root)
+    assert cli_main(["--config", cfg_path, "--mode", "train",
+                     "--suffix", "re0", "--debug"]) == 0

@@ -1,0 +1,79 @@
+"""Annotation-selection strategy ablations (random / dichotomy / all)."""
+
+import numpy as np
+import pytest
+
+from hual_tpu.active.coefficients import F_RENEW, get_coff
+from hual_tpu.active.engine import choose_observation_point, renew_dataset
+
+
+def _record(vlen=16, max_vlen=16, pos=None, neg=None, uncert=None):
+    return {
+        "idx": 0, "gt_idx": [4, 9], "old_idx": [3, 10],
+        "old_ap": {"pos_idx": pos or [], "neg_idx": neg or []},
+        "vlen": vlen, "max_vlen": max_vlen, "duration": 20.0,
+        "uncert_frame": uncert if uncert is not None else np.zeros(max_vlen),
+        "uncert_video": 0.0,
+        "sprob": np.random.default_rng(0).uniform(0, 1, max_vlen),
+        "eprob": np.random.default_rng(1).uniform(0, 1, max_vlen),
+    }
+
+
+def test_uncertainty_point_is_argmax():
+    u = np.zeros(16)
+    u[7] = 5.0
+    assert choose_observation_point(_record(uncert=u), "uncertainty", None) == 7
+
+
+def test_random_point_in_range():
+    rng = np.random.default_rng(3)
+    pts = {choose_observation_point(_record(vlen=10), "random", rng)
+           for _ in range(50)}
+    assert all(0 <= p < 10 for p in pts) and len(pts) > 3
+
+
+def test_dichotomy_bisects_largest_segment():
+    # no annotations: whole [0, vlen) is one segment -> midpoint
+    assert choose_observation_point(_record(vlen=16), "dichotomy", None) == 7
+    # with a positive span [6..8] and neg at 13: largest zero-run is [0..5]
+    r = _record(pos=[6, 8], neg=[13])
+    assert choose_observation_point(r, "dichotomy", None) == 2
+
+
+def _tiny_round_inputs(n=10, T=16):
+    rng = np.random.default_rng(5)
+    data_old, data_gt, props = [], [], []
+    for i in range(n):
+        vid = f"v{i}"
+        dur = 20.0
+        gt = [5.0, 12.0]
+        data_gt.append([vid, dur, gt, "q"])
+        data_old.append([vid, dur, [4.0, 13.0], "q"])
+        props.append({
+            "vid": vid, "v_len": T, "duration": dur,
+            "prop_logits": [rng.normal(size=T), rng.normal(size=T)],
+            "prop_logits1": [rng.normal(size=T), rng.normal(size=T)],
+            "prop_logits2": [rng.normal(size=T), rng.normal(size=T)],
+        })
+    return data_old, data_gt, props
+
+
+@pytest.mark.parametrize("strategy", ["uncertainty", "random", "dichotomy"])
+def test_renew_dataset_all_selection_annotates_everyone(strategy):
+    data_old, data_gt, props = _tiny_round_inputs()
+    coff = get_coff(F_RENEW, "charades", 1)
+    new, stats = renew_dataset(data_old, data_gt, props, coff,
+                               selection="all", point_strategy=strategy)
+    assert stats["n_selected"] == 10
+    for r in new:
+        assert len(r[4]["pos_idx"]) + len(r[4]["neg_idx"]) == 1
+
+
+def test_renew_dataset_half_selection_default():
+    data_old, data_gt, props = _tiny_round_inputs()
+    coff = get_coff(F_RENEW, "charades", 1)
+    new, stats = renew_dataset(data_old, data_gt, props, coff)
+    assert stats["n_selected"] == 5
+    annotated = sum(1 for r in new
+                    if r[4]["pos_idx"] or r[4]["neg_idx"])
+    assert annotated == 5
