@@ -191,6 +191,45 @@ def make_eval_step_indexed(model) -> Callable:
     return step
 
 
+def make_eval_sweep_indexed(model) -> Callable:
+    """Whole-split evaluation as one scanned program: sels (n_batches, B) ->
+    ious (n_batches, B)."""
+    step = make_eval_step_indexed(model)
+
+    def sweep(params, data, sels, word_vectors):
+        def body(_, sel):
+            return None, step(params, data, sel, word_vectors)["ious"]
+
+        _, ious = jax.lax.scan(body, None, sels)
+        return ious
+
+    return sweep
+
+
+def make_infer_sweep_indexed(model, mc_droprate: float = 0.5) -> Callable:
+    """Whole-train-set MC-dropout inference as one scanned program.
+
+    Replaces the reference's 5-sess.run-per-batch host loop
+    (utils/runner_utils.py:69-110) with a single dispatch: sels
+    (n_batches, B) -> dict of (n_batches, B, ...) stacked outputs.
+    Per-batch RNG = fold_in(rng, batch_index), matching the per-step path.
+    """
+    step = make_infer_step_indexed(model, mc_droprate)
+
+    def sweep(params, data, sels, word_vectors, rng):
+        idxs = jnp.arange(sels.shape[0], dtype=jnp.int32)
+
+        def body(_, inp):
+            sel, i = inp
+            return None, step(params, data, sel, word_vectors,
+                              jax.random.fold_in(rng, i))
+
+        _, outs = jax.lax.scan(body, None, (sels, idxs))
+        return outs
+
+    return sweep
+
+
 def make_infer_step_indexed(model, mc_droprate: float = 0.5) -> Callable:
     base = make_infer_step(model, mc_droprate)
 

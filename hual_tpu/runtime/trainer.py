@@ -26,8 +26,8 @@ from hual_tpu.ops.optim import make_optimizer
 from hual_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from hual_tpu.runtime.logger import get_logger
 from hual_tpu.runtime.observability import MetricsWriter, StepTimer, trace
-from hual_tpu.runtime.steps import (make_eval_step_indexed,
-                                    make_infer_step_indexed,
+from hual_tpu.runtime.steps import (make_eval_sweep_indexed,
+                                    make_infer_sweep_indexed,
                                     make_train_epoch_indexed,
                                     make_train_step_indexed)
 from hual_tpu.utils.io import save_pickle
@@ -106,8 +106,8 @@ class Trainer:
                                      config.loss.match_lambda,
                                      config.train.droprate),
             donate_argnums=(0, 1))
-        self._eval_step = jax.jit(make_eval_step_indexed(self.model))
-        self._infer_step = jax.jit(make_infer_step_indexed(self.model, 0.5))
+        self._eval_sweep = jax.jit(make_eval_sweep_indexed(self.model))
+        self._infer_sweep = jax.jit(make_infer_sweep_indexed(self.model, 0.5))
 
         self.state: Optional[TrainState] = None
         self.metrics = MetricsWriter(
@@ -294,17 +294,14 @@ class Trainer:
         if ds is None:
             raise ValueError(f"{split} set is not available")
         # pad_to_batch: eval is per-row independent, so padding the final
-        # ragged batch (dropped via n_valid) avoids a second XLA trace
+        # ragged batch (dropped via the n_valid mask) keeps one trace; the
+        # whole split is ONE scanned dispatch + ONE fetch
         loader = EvalLoader(ds, self.config.eval_batch_size, pad_to_batch=True)
-        ious, valid = [], []
-        for sel, n_valid in loader.index_iter():
-            out = self._eval_step(self.state.params, data,
-                                  self._put_sel(sel), self.word_vectors)
-            ious.append(out["ious"])
-            valid.append(n_valid)
-        flat = np.asarray(jnp.concatenate(ious))  # one fetch
-        B = loader.batch_size
-        kept = np.concatenate([flat[i * B:i * B + n] for i, n in enumerate(valid)])
+        pairs = list(loader.index_iter())
+        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._repl)
+        ious = np.asarray(self._eval_sweep(self.state.params, data, sels,
+                                           self.word_vectors))
+        kept = np.concatenate([ious[i, :n] for i, (_, n) in enumerate(pairs)])
         return rank1_metrics(kept)
 
     # ------------------------------------------------------------------
@@ -321,24 +318,17 @@ class Trainer:
                             pad_to_batch=True)
         rng = jax.random.key(cfg.train.seed if seed is None else seed)
         records = self.train_set.records
-        # dispatch every batch, then fetch each output field ONCE via a
-        # device-side concat (per-batch fetches through a tunneled device
-        # cost ~100 ms of latency each)
-        per_field: dict[str, list] = {}
-        n_valids = []
-        for bi, (sel, n_valid) in enumerate(loader.index_iter()):
-            out = self._infer_step(self.state.params, self._train_data,
-                                   self._put_sel(sel), self.word_vectors,
-                                   jax.random.fold_in(rng, bi))
-            n_valids.append(n_valid)
-            for k, v in out.items():
-                per_field.setdefault(k, []).append(v)
-        B = loader.batch_size
+        # the whole sweep is ONE scanned dispatch; one fetch per output field
+        # (per-batch fetches through a tunneled device cost ~100 ms each)
+        pairs = list(loader.index_iter())
+        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._repl)
+        outs = self._infer_sweep(self.state.params, self._train_data, sels,
+                                 self.word_vectors, rng)
         host: dict[str, np.ndarray] = {}
-        for k, chunks in per_field.items():
-            flat = np.asarray(jnp.concatenate(chunks, axis=0))
+        for k, v in outs.items():
+            stacked = np.asarray(v)  # (n_batches, B, ...)
             host[k] = np.concatenate(
-                [flat[i * B:i * B + n] for i, n in enumerate(n_valids)], axis=0)
+                [stacked[i, :n] for i, (_, n) in enumerate(pairs)], axis=0)
 
         save_list = []
         for i, rec in enumerate(records):
