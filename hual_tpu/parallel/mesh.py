@@ -40,6 +40,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def scan_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(n_batches, B, ...) stacks for scanned epochs/sweeps: the scan axis
+    stays whole, each per-step batch axis is split over `data`."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

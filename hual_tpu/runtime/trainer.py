@@ -23,7 +23,8 @@ from hual_tpu.data.features import FeatureStore
 from hual_tpu.data.loader import EvalLoader, PackedDataset, TrainLoader
 from hual_tpu.models.registry import get_model_class
 from hual_tpu.ops.optim import make_optimizer
-from hual_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from hual_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
+                                    scan_batch_sharding)
 from hual_tpu.runtime.logger import get_logger
 from hual_tpu.runtime.observability import MetricsWriter, StepTimer, trace
 from hual_tpu.runtime.steps import (make_eval_sweep_indexed,
@@ -83,6 +84,7 @@ class Trainer:
 
         self._repl = replicated(self.mesh)
         self._batch_sh = batch_sharding(self.mesh)
+        self._scan_sh = scan_batch_sharding(self.mesh)
         self.word_vectors = jax.device_put(
             jnp.asarray(dataset["word_vector"], jnp.float32), self._repl)
 
@@ -177,7 +179,7 @@ class Trainer:
                 timer.start()
                 ious_parts, losses_parts = [], []
                 if full:
-                    sels_dev = jax.device_put(np.stack(full), self._repl)
+                    sels_dev = jax.device_put(np.stack(full), self._scan_sh)
                     (state.params, state.opt_state, losses,
                      ious) = self._train_epoch(
                         state.params, state.opt_state, self._train_data,
@@ -298,7 +300,7 @@ class Trainer:
         # whole split is ONE scanned dispatch + ONE fetch
         loader = EvalLoader(ds, self.config.eval_batch_size, pad_to_batch=True)
         pairs = list(loader.index_iter())
-        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._repl)
+        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._scan_sh)
         ious = np.asarray(self._eval_sweep(self.state.params, data, sels,
                                            self.word_vectors))
         kept = np.concatenate([ious[i, :n] for i, (_, n) in enumerate(pairs)])
@@ -321,7 +323,7 @@ class Trainer:
         # the whole sweep is ONE scanned dispatch; one fetch per output field
         # (per-batch fetches through a tunneled device cost ~100 ms each)
         pairs = list(loader.index_iter())
-        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._repl)
+        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._scan_sh)
         outs = self._infer_sweep(self.state.params, self._train_data, sels,
                                  self.word_vectors, rng)
         host: dict[str, np.ndarray] = {}
