@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Throughput benchmark on the real TPU chip.
 
-Measures the PRODUCTION data path — device-resident dataset, jitted indexed
-steps — at the Charades parity shapes (B=16, T=64, vdim=1024, dim=128,
-heads=8, 2 attn layers; reference configs/charades/SeqPAN.yaml): the train
-step (fwd + 3 losses + AdamW + span decode + on-device IoU) and the
-MC-dropout inference step (clean + 2 stochastic forwards) at the AL-sweep
-batch size 256.
+Measures the PRODUCTION data path — device-resident dataset, scanned-epoch
+training — at the Charades parity shapes (B=16, T=64, vdim=1024, dim=128,
+heads=8, 2 attn layers; reference configs/charades/SeqPAN.yaml):
+
+* headline: sustained train pairs/s over a full scanned epoch (125 batches
+  of 16 = a 2000-sample split in ONE dispatch);
+* extras: the isolated per-step latency and the B=256 MC-dropout inference
+  step (clean + 2 stochastic forwards) used by the AL train-set sweep.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -29,12 +31,10 @@ REFERENCE_PAIRS_PER_SEC_ESTIMATE = 400.0
 def build(n_samples=2000, T=64, W=14, C=12, V=1024, dim=128, heads=8,
           layers=2, vocab=8000, chars=100):
     import jax
-    import jax.numpy as jnp
 
     from hual_tpu.models.seqpan import SeqPAN
     from hual_tpu.ops.optim import make_optimizer
-    from hual_tpu.runtime.steps import (gather_batch, make_infer_step_indexed,
-                                        make_train_step_indexed)
+    from hual_tpu.runtime.steps import gather_batch
 
     rng = np.random.default_rng(0)
     N = n_samples
@@ -59,11 +59,7 @@ def build(n_samples=2000, T=64, W=14, C=12, V=1024, dim=128, heads=8,
     params = model.init({"params": jax.random.key(0)}, batch0, wv, 0.0,
                         batch0["match_labels"], deterministic=True)
     tx = make_optimizer(1.0, 0.01)
-    opt_state = tx.init(params)
-    train_step = jax.jit(make_train_step_indexed(model, tx, 1.0, 0.2),
-                         donate_argnums=(0, 1))
-    infer_step = jax.jit(make_infer_step_indexed(model, 0.5))
-    return jax, data, wv, params, opt_state, train_step, infer_step
+    return jax, model, tx, data, wv, params
 
 
 def time_loop(jax, fn, n_warmup, n_iters):
@@ -81,46 +77,73 @@ def time_loop(jax, fn, n_warmup, n_iters):
 def main():
     import jax.numpy as jnp
 
-    jax, data, wv, params, opt_state, train_step, infer_step = build()
-    import jax as jax_mod
+    from hual_tpu.runtime.steps import (make_infer_step_indexed,
+                                        make_train_epoch_indexed,
+                                        make_train_step_indexed)
 
-    B = 16
+    jax, model, tx, data, wv, params = build()
+    B, N = 16, 2000
     lr = jnp.float32(1e-4)
     rng = jax.random.key(0)
-    sels = [jax.device_put(np.random.default_rng(i).integers(
-        0, 2000, B).astype(np.int32)) for i in range(64)]
-    state = {"params": params, "opt": opt_state, "i": 0}
 
-    def train_once():
-        state["i"] += 1
-        state["params"], state["opt"], m = train_step(
-            state["params"], state["opt"], data, sels[state["i"] % 64],
-            wv, lr, rng)
+    # isolated per-step latency
+    step = jax.jit(make_train_step_indexed(model, tx, 1.0, 0.2),
+                   donate_argnums=(0, 1))
+    import jax.numpy as _jnp
+
+    sels = [jax.device_put(np.random.default_rng(i).integers(
+        0, N, B).astype(np.int32)) for i in range(64)]
+    # independent state copies up front: both paths donate their state
+    p_step = jax.tree.map(_jnp.copy, params)
+    p_epoch = jax.tree.map(_jnp.copy, params)
+    o_step = tx.init(params)
+    o_epoch = tx.init(params)
+    st = {"p": p_step, "o": o_step, "i": 0}
+
+    def step_once():
+        st["i"] += 1
+        st["p"], st["o"], m = step(st["p"], st["o"], data,
+                                   sels[st["i"] % 64], wv, lr, rng)
         return m["loss"]
 
-    train_dt = time_loop(jax, train_once, n_warmup=3, n_iters=50)
-    train_pps = B / train_dt
+    step_dt = time_loop(jax, step_once, n_warmup=3, n_iters=50)
 
-    B_big = 256
-    sel_big = jax.device_put(np.arange(B_big, dtype=np.int32))
+    # headline: full scanned epoch (N/B batches in one dispatch)
+    epoch_fn = jax.jit(make_train_epoch_indexed(model, tx, 1.0, 0.2),
+                       donate_argnums=(0, 1))
+    perm = np.random.default_rng(7).permutation(N).astype(np.int32)
+    epoch_sels = jax.device_put(perm.reshape(N // B, B))
+    st2 = {"p": p_epoch, "o": o_epoch}
+
+    def epoch_once():
+        st2["p"], st2["o"], losses, ious = epoch_fn(
+            st2["p"], st2["o"], data, epoch_sels, wv, lr, rng, jnp.int32(0))
+        return losses
+
+    epoch_dt = time_loop(jax, epoch_once, n_warmup=2, n_iters=10)
+    train_pps = N / epoch_dt
+
+    # AL sweep inference step at B=256
+    infer_step = jax.jit(make_infer_step_indexed(model, 0.5))
+    sel_big = jax.device_put(np.arange(256, dtype=np.int32))
 
     def infer_once():
-        return infer_step(state["params"], data, sel_big, wv, rng)["ious"]
+        return infer_step(st2["p"], data, sel_big, wv, rng)["ious"]
 
     infer_dt = time_loop(jax, infer_once, n_warmup=3, n_iters=20)
-    infer_pps = B_big / infer_dt
 
     result = {
-        "metric": "seqpan_charades_train_pairs_per_sec_per_chip",
+        "metric": "seqpan_charades_sustained_train_pairs_per_sec_per_chip",
         "value": round(train_pps, 1),
         "unit": "pairs/s",
         "vs_baseline": round(train_pps / REFERENCE_PAIRS_PER_SEC_ESTIMATE, 2),
         "extra": {
-            "train_step_ms": round(train_dt * 1e3, 3),
+            "scanned_epoch_ms": round(epoch_dt * 1e3, 2),
+            "isolated_step_ms": round(step_dt * 1e3, 3),
             "infer_b256_step_ms": round(infer_dt * 1e3, 3),
-            "infer_b256_pairs_per_sec": round(infer_pps, 1),
+            "infer_b256_pairs_per_sec": round(256 / infer_dt, 1),
             "batch_size": B,
-            "path": "device-resident indexed steps (production loop)",
+            "path": "device-resident scanned-epoch (production loop)",
             "device": str(jax.devices()[0]),
         },
     }

@@ -92,6 +92,12 @@ class Trainer:
         # host sends only the batch index vector.  This is both the natural
         # TPU design (features pinned once, gathered on device) and the fix
         # for per-step host<->device round-trip latency.
+        feat_gb = feature_store.packed.nbytes / 1e9
+        if feat_gb > 8.0:
+            self.logger.warning(
+                f"device-resident features are {feat_gb:.1f} GB; v5e HBM is "
+                f"16 GB/chip — shard the feature table or lower max_vlen if "
+                f"allocation fails")
         self._device_features = jax.device_put(feature_store.packed, self._repl)
         self._train_data = self._device_data(self.train_set)
         self._test_data = self._device_data(self.test_set)
