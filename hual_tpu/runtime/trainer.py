@@ -140,9 +140,6 @@ class Trainer:
                          f"{count_params(params)} params")
         return self.state
 
-    def _put(self, batch: dict) -> dict:
-        return {k: jax.device_put(v, self._batch_sh) for k, v in batch.items()}
-
     def _device_data(self, packed: PackedDataset) -> dict:
         cols = {"feat_rows": packed.feat_rows, "word_ids": packed.word_ids,
                 "char_ids": packed.char_ids, "s_ind": packed.s_ind,

@@ -37,6 +37,22 @@ def test_short_video_passthrough():
     assert out.shape == (5, 8)
 
 
+def test_prefetch_iterator():
+    """Host-pipeline prefetch utility (for splits too large for HBM)."""
+    from hual_tpu.data.loader import prefetch
+
+    assert list(prefetch(iter(range(10)), depth=2)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
+
+
 def test_feature_store_pack_and_gather():
     feats = {"a": np.ones((5, 8), np.float32),
              "b": 2 * np.ones((12, 8), np.float32)}
