@@ -12,10 +12,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
 
-from hual_tpu.utils.metrics import calculate_iou
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from hual_tpu.utils.metrics import calculate_iou  # noqa: E402
 
 
 def extend_glances(data: dict, factor: float) -> tuple[list, float]:
