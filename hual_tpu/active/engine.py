@@ -33,11 +33,23 @@ def rank_uncertainty(data_old: list, data_gt: list, last_prop: list,
     n = len(data_old)
     assert len(last_prop) == n and len(data_gt) == n
 
-    # stack the two MC-dropout logit passes: (N, T) each
-    s1 = np.stack([np.asarray(p["prop_logits1"][0]) for p in last_prop])
-    e1 = np.stack([np.asarray(p["prop_logits1"][1]) for p in last_prop])
-    s2 = np.stack([np.asarray(p["prop_logits2"][0]) for p in last_prop])
-    e2 = np.stack([np.asarray(p["prop_logits2"][1]) for p in last_prop])
+    # stack the two MC-dropout logit passes: (N, T) each.  Reference-written
+    # pickles pad logits to the per-batch max v_len (pad_video_seq,
+    # reference utils/data_utils.py:158-172) so rows can be ragged; pad to
+    # the global max (model_uncertainty_batch zeroes past each vlen, and the
+    # two passes pad identically, so padding never contributes).
+    def _stack_padded(rows: list[np.ndarray]) -> np.ndarray:
+        rows = [np.asarray(r) for r in rows]
+        width = max(r.shape[0] for r in rows)
+        out = np.zeros((len(rows), width), dtype=np.result_type(*rows))
+        for i, r in enumerate(rows):
+            out[i, :r.shape[0]] = r
+        return out
+
+    s1 = _stack_padded([p["prop_logits1"][0] for p in last_prop])
+    e1 = _stack_padded([p["prop_logits1"][1] for p in last_prop])
+    s2 = _stack_padded([p["prop_logits2"][0] for p in last_prop])
+    e2 = _stack_padded([p["prop_logits2"][1] for p in last_prop])
     vlens = np.asarray([p["v_len"] for p in last_prop])
     uncert_model = model_uncertainty_batch(s1, e1, s2, e2, vlens)   # (N, T)
     uncert_video = uncert_model.sum(axis=1)                          # (N,)

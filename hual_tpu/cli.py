@@ -37,15 +37,21 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def build_trainer(config: Config) -> Trainer:
+def build_trainer(config: Config, features: "FeatureStore" = None,
+                  device_features=None) -> Trainer:
+    """`features`/`device_features` let a round orchestrator reuse the
+    (round-invariant) feature table — host-side and device-resident — instead
+    of re-reading GBs from disk and re-uploading them every round."""
     dataset = gen_or_load_dataset(config)
     config.model.num_chars = dataset["n_chars"]
     config.model.num_words = dataset["n_words"]
-    features = FeatureStore.from_dir(config.paths.feature_path,
-                                     config.model.max_vlen)
+    if features is None:
+        features = FeatureStore.from_dir(config.paths.feature_path,
+                                         config.model.max_vlen)
     logger = get_logger(f"./logs/{config.task}", config.suffix or "run")
     logger.info(json.dumps(config.to_dict(), indent=4))
-    return Trainer(config, dataset, features, logger=logger)
+    return Trainer(config, dataset, features, logger=logger,
+                   device_features=device_features)
 
 
 def main(argv=None) -> int:

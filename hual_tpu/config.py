@@ -42,6 +42,15 @@ class TrainConfig:
     infer_batch_size: Optional[int] = None  # train-set MC-dropout sweep;
     # defaults to max(256, batch): a pure throughput win at fixed shapes
     seed: int = 12345               # reference main.py:21
+    # Dropout rate of the two "MC-dropout" inference passes.  The reference
+    # INTENDED 0.5 (eval_test_save builds feed_dict_dropout05,
+    # utils/runner_utils.py:79) but its eval feed never includes the
+    # drop_rate placeholder (utils/runner_utils.py:61-65), which defaults to
+    # 0.0 (models/model.py:26) — so the reference's stochastic passes are
+    # actually deterministic and model uncertainty is identically zero.
+    # Default 0.0 reproduces that shipped behavior (docs/PARITY.md); set 0.5
+    # for true MC-dropout uncertainty (the paper's stated method).
+    mc_droprate: float = 0.0
 
 
 @dataclass

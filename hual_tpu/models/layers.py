@@ -246,10 +246,17 @@ class MatchingHead(nn.Module):
     def __call__(self, inputs, labels, mask, deterministic: bool):
         logits = Conv1D(self.label_size, use_bias=True, name="dense")(inputs)
         onehot = jax.nn.one_hot(labels, self.label_size, axis=-1, dtype=logits.dtype)
-        if self.gumbel and not deterministic:
-            u = jax.random.uniform(self.make_rng("dropout"), logits.shape)
-            noise = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
-            logits = (logits + noise) / self.tau
+        if self.gumbel:
+            # the reference applies gumbel noise + 1/tau sharpening in EVERY
+            # pass — train, eval and inference alike (matching_loss has no
+            # mode switch, reference models/layers.py:163-165).  Deterministic
+            # passes here have no RNG stream (TF's stateful noise cannot be
+            # replayed anyway, docs/PARITY.md), so they keep the
+            # deterministic part of the transform: the 1/tau sharpening.
+            if not deterministic:
+                u = jax.random.uniform(self.make_rng("dropout"), logits.shape)
+                logits = logits - jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+            logits = logits / self.tau
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         probs = jax.nn.softmax(logits, axis=-1)
         per_pos = -jnp.sum(onehot * log_probs, axis=-1)

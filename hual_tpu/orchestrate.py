@@ -39,19 +39,21 @@ def run_rounds(task: str, rounds: int | None = None,
     loop stops; completed rounds persist on disk, so a crashed loop resumes
     with ``start_round=<next>``.
     """
-    from hual_tpu.cli import build_trainer  # deferred: heavy jax imports
-
     rounds = rounds or DEFAULT_ROUNDS.get(task, 3)
     base_config_path = base_config_path or DEFAULT_CONFIGS[task]
     base = Config.load(base_config_path)
     logger = get_logger(f"./logs/{task}", "rounds")
     history = []
+    # the video feature table is round-invariant: load + device-upload once,
+    # reuse across every round's trainer
+    shared: dict = {}
 
     for round_idx in range(start_round, rounds + 1):
         for attempt in range(max_retries + 1):
             try:
                 _run_one_round(task, round_idx, base, base_config_path,
-                               data_root, results_root, logger, history)
+                               data_root, results_root, logger, history,
+                               shared)
                 break
             except Exception:
                 logger.exception(f"round re{round_idx} attempt {attempt} failed")
@@ -66,8 +68,10 @@ def run_rounds(task: str, rounds: int | None = None,
 
 
 def _run_one_round(task, round_idx, base, base_config_path, data_root,
-                   results_root, logger, history) -> None:
+                   results_root, logger, history, shared=None) -> None:
     from hual_tpu.cli import build_trainer
+
+    shared = {} if shared is None else shared
 
     logger.info(f"=== round re{round_idx}: update labels ===")
     stats = update_labels(task, round_idx, data_root=data_root,
@@ -82,7 +86,10 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
     cfg.save(f"{stem}_re{round_idx}{ext}")
 
     logger.info(f"=== round re{round_idx}: train ===")
-    trainer = build_trainer(cfg)
+    trainer = build_trainer(cfg, features=shared.get("features"),
+                            device_features=shared.get("device_features"))
+    shared["features"] = getattr(trainer, "features", None)
+    shared["device_features"] = getattr(trainer, "_device_features", None)
     trainer.init_state()
     best = trainer.train()
 

@@ -106,18 +106,28 @@ def make_eval_step(model) -> Callable:
     return eval_step
 
 
-def make_infer_step(model, mc_droprate: float = 0.5) -> Callable:
-    """Clean forward + two MC-dropout forwards in one compiled program
-    (reference eval_test_save's 5 sess.runs, utils/runner_utils.py:75-81)."""
+def make_infer_step(model, mc_droprate: float = 0.0) -> Callable:
+    """Clean forward + two "MC-dropout" forwards in one compiled program
+    (reference eval_test_save's 5 sess.runs, utils/runner_utils.py:75-81).
+
+    ``mc_droprate=0.0`` (default) replicates the reference exactly: its eval
+    feed omits the drop_rate placeholder (utils/runner_utils.py:61-65), which
+    defaults to 0.0 (models/model.py:26), so the reference's two stochastic
+    passes are identical to the clean pass — reuse it instead of recomputing.
+    A nonzero rate gives true MC-dropout (two extra stochastic forwards).
+    """
 
     def infer_step(params, batch, word_vectors, rng):
         clean = model.apply(params, batch, word_vectors, 0.0,
                             deterministic=True)
-        r1, r2 = jax.random.split(rng)
-        mc1 = model.apply(params, batch, word_vectors, mc_droprate,
-                          deterministic=False, rngs={"dropout": r1})
-        mc2 = model.apply(params, batch, word_vectors, mc_droprate,
-                          deterministic=False, rngs={"dropout": r2})
+        if mc_droprate == 0.0:
+            mc1 = mc2 = clean
+        else:
+            r1, r2 = jax.random.split(rng)
+            mc1 = model.apply(params, batch, word_vectors, mc_droprate,
+                              deterministic=False, rngs={"dropout": r1})
+            mc2 = model.apply(params, batch, word_vectors, mc_droprate,
+                              deterministic=False, rngs={"dropout": r2})
         ious = device_ious(clean["start_index"], clean["end_index"],
                            batch["s_ind"], batch["e_ind"],
                            batch["video_seq_len"], batch["duration"])
@@ -206,7 +216,7 @@ def make_eval_sweep_indexed(model) -> Callable:
     return sweep
 
 
-def make_infer_sweep_indexed(model, mc_droprate: float = 0.5) -> Callable:
+def make_infer_sweep_indexed(model, mc_droprate: float = 0.0) -> Callable:
     """Whole-train-set MC-dropout inference as one scanned program.
 
     Replaces the reference's 5-sess.run-per-batch host loop
@@ -230,7 +240,7 @@ def make_infer_sweep_indexed(model, mc_droprate: float = 0.5) -> Callable:
     return sweep
 
 
-def make_infer_step_indexed(model, mc_droprate: float = 0.5) -> Callable:
+def make_infer_step_indexed(model, mc_droprate: float = 0.0) -> Callable:
     base = make_infer_step(model, mc_droprate)
 
     def step(params, data, sel, word_vectors, rng):

@@ -55,7 +55,8 @@ def _enable_persistent_compile_cache() -> None:
 
 class Trainer:
     def __init__(self, config: Config, dataset: dict,
-                 feature_store: FeatureStore, mesh=None, logger=None):
+                 feature_store: FeatureStore, mesh=None, logger=None,
+                 device_features=None):
         _enable_persistent_compile_cache()
         if config.model.matmul_precision != "default":
             jax.config.update("jax_default_matmul_precision",
@@ -98,7 +99,15 @@ class Trainer:
                 f"device-resident features are {feat_gb:.1f} GB; v5e HBM is "
                 f"16 GB/chip — shard the feature table or lower max_vlen if "
                 f"allocation fails")
-        self._device_features = jax.device_put(feature_store.packed, self._repl)
+        if device_features is not None:
+            # reuse a previous round's device-resident table (features are
+            # round-invariant; re-uploading GBs per round is pure waste)
+            assert device_features.shape == feature_store.packed.shape, (
+                device_features.shape, feature_store.packed.shape)
+            self._device_features = device_features
+        else:
+            self._device_features = jax.device_put(feature_store.packed,
+                                                   self._repl)
         self._train_data = self._device_data(self.train_set)
         self._test_data = self._device_data(self.test_set)
         self._val_data = (self._device_data(self.val_set)
@@ -115,7 +124,11 @@ class Trainer:
                                      config.train.droprate),
             donate_argnums=(0, 1))
         self._eval_sweep = jax.jit(make_eval_sweep_indexed(self.model))
-        self._infer_sweep = jax.jit(make_infer_sweep_indexed(self.model, 0.5))
+        self._infer_sweep = jax.jit(make_infer_sweep_indexed(
+            self.model, config.train.mc_droprate))
+        # eval/infer index matrices are a pure function of the (fixed) split
+        # and batch size; build + upload once, not once per epoch
+        self._sweep_cache: dict[str, tuple[Any, list, jax.Array]] = {}
 
         self.state: Optional[TrainState] = None
         self.metrics = MetricsWriter(
@@ -149,8 +162,33 @@ class Trainer:
         data["features"] = self._device_features
         return data
 
+    def _data_axis_size(self) -> int:
+        return int(self.mesh.shape.get("data", 1))
+
     def _put_sel(self, sel: np.ndarray) -> jax.Array:
-        return jax.device_put(np.ascontiguousarray(sel), self._batch_sh)
+        # a ragged remainder batch may not divide the data axis; replicate it
+        # (one un-sharded step) instead of crashing the multi-device path
+        sh = (self._batch_sh if len(sel) % self._data_axis_size() == 0
+              else self._repl)
+        return jax.device_put(np.ascontiguousarray(sel), sh)
+
+    def _put_sels(self, sels: np.ndarray) -> jax.Array:
+        """(n_batches, B) scan matrix: shard B over the data axis when it
+        divides, else replicate (same semantics, no divisibility crash)."""
+        sh = (self._scan_sh if sels.shape[1] % self._data_axis_size() == 0
+              else self._repl)
+        return jax.device_put(sels, sh)
+
+    def _sweep_sels(self, key: str, dataset, batch_size: int
+                    ) -> tuple[list, jax.Array]:
+        cached = self._sweep_cache.get(key)
+        if cached is None or cached[0] is not dataset:
+            loader = EvalLoader(dataset, batch_size, pad_to_batch=True)
+            pairs = list(loader.index_iter())
+            sels = self._put_sels(np.stack([s for s, _ in pairs]))
+            cached = (dataset, pairs, sels)
+            self._sweep_cache[key] = cached
+        return cached[1], cached[2]
 
     # ------------------------------------------------------------------
     def train(self) -> dict[str, Any]:
@@ -161,7 +199,9 @@ class Trainer:
         loader = TrainLoader(self.train_set, cfg.train.batch_size,
                              seed=cfg.train.seed)
         base_rng = jax.random.key(cfg.train.seed + 17)
-        best = {"r1i7": -1.0, "train_line": "", "test_line": ""}
+        # resume-safe: state.best_r1i7 (persisted by save_state) seeds the
+        # threshold so a continuation can't overwrite a better checkpoint
+        best = {"r1i7": state.best_r1i7, "train_line": "", "test_line": ""}
         ckptr = ocp.StandardCheckpointer()
         model_dir = os.path.abspath(self.config.model_dir())
         os.makedirs(model_dir, exist_ok=True)
@@ -182,7 +222,7 @@ class Trainer:
                 timer.start()
                 ious_parts, losses_parts = [], []
                 if full:
-                    sels_dev = jax.device_put(np.stack(full), self._scan_sh)
+                    sels_dev = self._put_sels(np.stack(full))
                     (state.params, state.opt_state, losses,
                      ious) = self._train_epoch(
                         state.params, state.opt_state, self._train_data,
@@ -234,6 +274,7 @@ class Trainer:
                 best.update(r1i7=test_m["r1i7"], train_line=train_line,
                             test_line=test_line, epoch=epoch,
                             test_metrics=test_m, train_metrics=train_m)
+                state.best_r1i7 = float(test_m["r1i7"])
                 path = os.path.join(model_dir, "best")
                 if os.path.exists(path):
                     import shutil
@@ -300,10 +341,9 @@ class Trainer:
             raise ValueError(f"{split} set is not available")
         # pad_to_batch: eval is per-row independent, so padding the final
         # ragged batch (dropped via the n_valid mask) keeps one trace; the
-        # whole split is ONE scanned dispatch + ONE fetch
-        loader = EvalLoader(ds, self.config.eval_batch_size, pad_to_batch=True)
-        pairs = list(loader.index_iter())
-        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._scan_sh)
+        # whole split is ONE scanned dispatch + ONE fetch, and the index
+        # matrix is cached on device across epochs
+        pairs, sels = self._sweep_sels(split, ds, self.config.eval_batch_size)
         ious = np.asarray(self._eval_sweep(self.state.params, data, sels,
                                            self.word_vectors))
         kept = np.concatenate([ious[i, :n] for i, (_, n) in enumerate(pairs)])
@@ -318,15 +358,13 @@ class Trainer:
         cfg = self.config
         if save_path is None:
             save_path = f"./results/{cfg.task}/{cfg.suffix}.pkl"
-        loader = EvalLoader(self.train_set,
-                            min(cfg.infer_batch_size, len(self.train_set)),
-                            pad_to_batch=True)
         rng = jax.random.key(cfg.train.seed if seed is None else seed)
         records = self.train_set.records
         # the whole sweep is ONE scanned dispatch; one fetch per output field
         # (per-batch fetches through a tunneled device cost ~100 ms each)
-        pairs = list(loader.index_iter())
-        sels = jax.device_put(np.stack([s for s, _ in pairs]), self._scan_sh)
+        pairs, sels = self._sweep_sels(
+            "infer", self.train_set,
+            min(cfg.infer_batch_size, len(self.train_set)))
         outs = self._infer_sweep(self.state.params, self._train_data, sels,
                                  self.word_vectors, rng)
         host: dict[str, np.ndarray] = {}

@@ -153,3 +153,39 @@ def test_renew_label_neg_only_stays_in_segment():
     assert sidx <= eidx
     # the decoded span must not cross the negative point
     assert not (sidx <= 7 <= eidx)
+
+
+def test_rank_uncertainty_accepts_ragged_reference_pickles():
+    """Reference-written pickles pad logits to the per-batch max v_len
+    (utils/data_utils.py:158-172), so rows can be ragged; rank_uncertainty
+    must pad-and-stack them, and padding must not change the scores."""
+    from hual_tpu.active.engine import rank_uncertainty
+
+    rng = np.random.default_rng(3)
+    T_full, n = 16, 6
+    vlens = [16, 9, 12, 16, 7, 10]
+    widths = [16, 9, 16, 16, 8, 12]   # per-record storage width >= vlen
+    data_old, data_gt, last_prop = [], [], []
+    for i, (vlen, w) in enumerate(zip(vlens, widths)):
+        dur = 20.0
+        data_old.append([f"v{i}", dur, [2.0, 9.0], "q",
+                         {"pos_idx": [], "neg_idx": []}])
+        data_gt.append([f"v{i}", dur, [3.0, 10.0], "q"])
+        mk = lambda: rng.normal(size=w).astype(np.float32)
+        last_prop.append({
+            "vid": f"v{i}", "v_len": vlen, "duration": dur,
+            "prop_logits": [mk(), mk()],
+            "prop_logits1": [mk(), mk()],
+            "prop_logits2": [mk(), mk()],
+        })
+    coff = get_coff(F_RENEW, "charades", 1)
+    ranking = rank_uncertainty(data_old, data_gt, last_prop, coff)
+    assert len(ranking) == n
+    # scores match the per-sample scalar path on each record's own width
+    for rec in ranking:
+        p = last_prop[rec["idx"]]
+        u = model_uncertainty_batch(
+            p["prop_logits1"][0][None], p["prop_logits1"][1][None],
+            p["prop_logits2"][0][None], p["prop_logits2"][1][None],
+            np.asarray([p["v_len"]]))[0]
+        assert np.isclose(rec["uncert_video"], u.sum())

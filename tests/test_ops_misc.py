@@ -59,3 +59,32 @@ def test_label_smoothing():
     assert sm[0, 0] == pytest.approx(0.7 + 0.1)
     assert sm[0, 1] == pytest.approx(0.1)
     assert sm[0, 3] == 0.0  # padding stays zero
+
+
+def test_matching_head_gumbel_tau_applies_in_every_pass():
+    """Reference matching_loss applies (logits+noise)/tau unconditionally when
+    gumbel is on (models/layers.py:163-165) — deterministic passes here keep
+    the 1/tau sharpening (noise needs an RNG stream; docs/PARITY.md)."""
+    import numpy as np
+
+    from hual_tpu.models.layers import MatchingHead
+
+    B, T, D = 2, 6, 8
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+    labels = rng.integers(0, 4, size=(B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+
+    plain = MatchingHead(4, tau=0.3, gumbel=False)
+    sharp = MatchingHead(4, tau=0.3, gumbel=True)
+    p = plain.init({"params": jax.random.key(0)}, x, labels, mask,
+                   deterministic=True)
+    _, probs_plain = plain.apply(p, x, labels, mask, deterministic=True)
+    _, probs_sharp = sharp.apply(p, x, labels, mask, deterministic=True)
+    # deterministic gumbel == softmax(logits / tau): sharper, not equal
+    assert not np.allclose(np.asarray(probs_plain), np.asarray(probs_sharp))
+    assert float(jnp.max(probs_sharp)) > float(jnp.max(probs_plain))
+    # stochastic pass adds noise on top
+    _, probs_noisy = sharp.apply(p, x, labels, mask, deterministic=False,
+                                 rngs={"dropout": jax.random.key(1)})
+    assert not np.allclose(np.asarray(probs_noisy), np.asarray(probs_sharp))

@@ -79,7 +79,7 @@ def test_run_rounds_plumbing(tmp_path, monkeypatch):
     _write_fake_predictions(cfg_re0, "./results/charades/re0.pkl")
 
     import hual_tpu.cli as cli
-    monkeypatch.setattr(cli, "build_trainer", lambda c: StubTrainer(c))
+    monkeypatch.setattr(cli, "build_trainer", lambda c, **kw: StubTrainer(c))
 
     from hual_tpu.orchestrate import run_rounds
     history = run_rounds("charades", rounds=2, base_config_path=base_path)
@@ -134,7 +134,7 @@ def test_run_rounds_retry_on_transient_failure(tmp_path, monkeypatch):
             return super().train()
 
     import hual_tpu.cli as cli
-    monkeypatch.setattr(cli, "build_trainer", lambda c: FlakyTrainer(c))
+    monkeypatch.setattr(cli, "build_trainer", lambda c, **kw: FlakyTrainer(c))
     from hual_tpu.orchestrate import run_rounds
     history = run_rounds("charades", rounds=1, base_config_path=base_path,
                          max_retries=1)

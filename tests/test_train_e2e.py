@@ -107,10 +107,23 @@ def test_infer_trainset_pickle_schema(trained):
     T = cfg.model.max_vlen
     assert rec["prop_logits"][0].shape == (T,)
     assert rec["m_score"].shape == (T, 4)
-    # the two MC-dropout passes must differ from each other and from clean
-    assert not np.allclose(rec["prop_logits1"][0], rec["prop_logits2"][0])
-    assert not np.allclose(rec["prop_logits"][0], rec["prop_logits1"][0])
+    # reference parity (mc_droprate 0.0 default): the reference never fed its
+    # drop_rate placeholder at eval (utils/runner_utils.py:61-65 +
+    # models/model.py:26), so all three logit sets are identical
+    np.testing.assert_array_equal(rec["prop_logits1"][0], rec["prop_logits2"][0])
+    np.testing.assert_array_equal(rec["prop_logits"][0], rec["prop_logits1"][0])
     assert metrics["miou"] > 0
+
+    # true MC-dropout (opt-in mc_droprate > 0): passes must differ
+    import jax
+
+    from hual_tpu.runtime.steps import make_infer_sweep_indexed
+    trainer._infer_sweep = jax.jit(make_infer_sweep_indexed(trainer.model, 0.5))
+    out2 = os.path.join(workdir, "results", "charades", "re0_mc.pkl")
+    trainer.infer_trainset(save_path=out2)
+    rec2 = load_pickle(out2)[0]
+    assert not np.allclose(rec2["prop_logits1"][0], rec2["prop_logits2"][0])
+    assert not np.allclose(rec2["prop_logits"][0], rec2["prop_logits1"][0])
 
 
 def test_full_state_save_load_roundtrip(trained):
@@ -163,3 +176,62 @@ def test_round1_retrains_from_updated_labels(trained):
     trainer.init_state()
     best = trainer.train()
     assert best["r1i7"] >= 0.0
+
+
+def test_default_mc_rate_selection_is_dataset_order(trained):
+    """With the reference-parity mc_droprate=0.0 pickle, video uncertainty is
+    identically zero and the annotated half is the first ceil(N/2) samples in
+    dataset order (stable sort — the reference's degenerate behavior)."""
+    workdir, _, _, _ = trained
+    from hual_tpu.active.coefficients import F_RENEW, get_coff
+    from hual_tpu.active.engine import rank_uncertainty
+    data_old = load_json(os.path.join(workdir, "data", "charades_re0",
+                                      "train.json"))
+    data_gt = load_json(os.path.join(workdir, "data", "charades_gt",
+                                     "train.json"))
+    last_prop = load_pickle(os.path.join(workdir, "results", "charades",
+                                         "re0.pkl"))
+    for rec in data_old:
+        if len(rec) == 4:
+            rec.append({"pos_idx": [], "neg_idx": []})
+    ranking = rank_uncertainty(data_old, data_gt, last_prop,
+                               get_coff(F_RENEW, "charades", 1))
+    assert all(r["uncert_video"] == 0.0 for r in ranking)
+    assert [r["idx"] for r in ranking] == list(range(len(data_old)))
+
+
+def test_ragged_batches_on_multi_device_mesh(workdir):
+    """Batch sizes dividing neither the dataset nor the 8-device data axis:
+    the remainder train batch and the eval/infer scan matrices fall back to
+    replicated placement instead of crashing on sharding divisibility."""
+    cfg = tiny_config(workdir)
+    cfg.suffix = "ragged"
+    cfg.paths.train_path = os.path.join(workdir, "data/charades_re0/train.json")
+    cfg.paths.test_path = os.path.join(workdir, "data/charades_re0/test.json")
+    cfg.train.epochs = 1
+    cfg.train.batch_size = 18        # 48 = 2*18 + 12; 12 % 8 != 0
+    cfg.train.eval_batch_size = 18   # 18 % 8 != 0
+    cfg.train.infer_batch_size = 18
+    dataset = gen_or_load_dataset(cfg)
+    features = FeatureStore.from_dir(cfg.paths.feature_path, cfg.model.max_vlen)
+    trainer = Trainer(cfg, dataset, features)
+    trainer.init_state()
+    best = trainer.train()
+    assert np.isfinite(best["r1i7"])
+    out = os.path.join(workdir, "results", "charades", "ragged.pkl")
+    trainer.infer_trainset(save_path=out)
+    assert len(load_pickle(out)) == 48
+
+
+def test_resume_does_not_overwrite_better_checkpoint(trained):
+    """load_state carries best_r1i7 into train(): a continuation whose test
+    score is below the persisted best must never replace the checkpoint.
+    (Runs last: it advances the shared trainer's params.)"""
+    workdir, cfg, trainer, _ = trained
+    model_dir = os.path.abspath(cfg.model_dir())
+    marker = os.path.join(model_dir, "best")
+    mtime = os.path.getmtime(marker)
+    trainer.state.best_r1i7 = 1000.0   # as if restored from a better session
+    trainer.train()
+    assert os.path.getmtime(marker) == mtime, \
+        "continuation overwrote a better checkpoint"
