@@ -38,11 +38,13 @@ def parse_args(argv=None):
 
 
 def build_trainer(config: Config, features: "FeatureStore" = None,
-                  device_features=None) -> Trainer:
+                  device_features=None, base_dataset: dict = None) -> Trainer:
     """`features`/`device_features` let a round orchestrator reuse the
     (round-invariant) feature table — host-side and device-resident — instead
-    of re-reading GBs from disk and re-uploading them every round."""
-    dataset = gen_or_load_dataset(config)
+    of re-reading GBs from disk and re-uploading them every round;
+    `base_dataset` (a previous round's dataset dict) enables the re-span fast
+    path (only spans change between AL rounds — skip re-tokenizing)."""
+    dataset = gen_or_load_dataset(config, base=base_dataset)
     config.model.num_chars = dataset["n_chars"]
     config.model.num_words = dataset["n_words"]
     if features is None:

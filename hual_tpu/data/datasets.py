@@ -142,12 +142,42 @@ def _static_shape_bounds(datasets) -> tuple[int, int]:
     return max_wlen, max_clen
 
 
-def gen_or_load_dataset(config: Config, data_dir: str | None = None) -> dict:
+def _respan_dataset(base: dict, data_dir: str) -> dict | None:
+    """AL-round fast path: between rounds only the pseudo spans of train.json
+    change — vids, order, durations, sentences (hence vocab, token ids and
+    shape bounds) are invariant (update_labels mutates records in place).
+    Recompute s/e indices against the new spans instead of re-tokenizing the
+    whole corpus.  Returns None when the invariants don't hold."""
+    try:
+        new_train = load_json(os.path.join(data_dir, "train.json"))
+    except (OSError, ValueError):
+        return None
+    old = base.get("train_set")
+    if not old or len(new_train) != len(old):
+        return None
+    train_set = []
+    for rec, new in zip(old, new_train):
+        vid, duration, (s_time, e_time) = new[0], new[1], new[2]
+        if str(vid) != rec["vid"] or duration != rec["duration"]:
+            return None
+        s_ind, e_ind = time_to_index(s_time, e_time, rec["v_len"], duration)
+        r2 = dict(rec)
+        r2.update(s_time=s_time, e_time=e_time,
+                  s_ind=int(s_ind), e_ind=int(e_ind))
+        train_set.append(r2)
+    ds = dict(base)
+    ds["train_set"] = train_set
+    return ds
+
+
+def gen_or_load_dataset(config: Config, data_dir: str | None = None,
+                        base: dict | None = None) -> dict:
     """Build or load the cached dataset dict (reference utils/data_gen.py:160-196).
 
     Unlike the reference (which derives data_dir from task+suffix only), we
     honor config.paths.train_path when it is set, falling back to the
-    reference layout ``data/<task>_<suffix>/``.
+    reference layout ``data/<task>_<suffix>/``.  ``base`` (a previous round's
+    dataset dict) enables the re-span fast path across AL rounds.
     """
     os.makedirs(config.paths.cache_dir, exist_ok=True)
     if data_dir is None:
@@ -159,6 +189,12 @@ def gen_or_load_dataset(config: Config, data_dir: str | None = None) -> dict:
     save_path = gen_train_data_cache_path(config)
     if os.path.exists(save_path):
         return load_pickle(save_path)
+
+    if base is not None:
+        dataset = _respan_dataset(base, data_dir)
+        if dataset is not None:
+            save_pickle(dataset, save_path)
+            return dataset
 
     vfeat_lens = load_json(os.path.join(config.paths.feature_path, "feature_shapes.json"))
     for vid, vfeat_len in vfeat_lens.items():

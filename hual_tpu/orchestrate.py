@@ -31,13 +31,19 @@ def run_rounds(task: str, rounds: int | None = None,
                base_config_path: str | None = None,
                start_round: int = 1, data_root: str = "./data",
                results_root: str = "./results",
-               max_retries: int = 1) -> list[dict]:
+               max_retries: int = 1,
+               warm_start: dict | None = None) -> list[dict]:
     """The full HUAL loop; returns per-round stats + metrics.
 
     Failure handling (reference run_*.py only checked os.system exit codes
     and aborted): each round retries up to `max_retries` times before the
     loop stops; completed rounds persist on disk, so a crashed loop resumes
     with ``start_round=<next>``.
+
+    ``warm_start``: optionally seed the cross-round reuse state from a
+    round-0 trainer, e.g. ``{"features": t.features, "device_features":
+    t._device_features, "dataset": t.dataset}`` — round 1 then skips the
+    feature reload/upload and the corpus re-tokenization.
     """
     rounds = rounds or DEFAULT_ROUNDS.get(task, 3)
     base_config_path = base_config_path or DEFAULT_CONFIGS[task]
@@ -45,8 +51,8 @@ def run_rounds(task: str, rounds: int | None = None,
     logger = get_logger(f"./logs/{task}", "rounds")
     history = []
     # the video feature table is round-invariant: load + device-upload once,
-    # reuse across every round's trainer
-    shared: dict = {}
+    # reuse across every round's trainer (same for the tokenized corpus)
+    shared: dict = dict(warm_start) if warm_start else {}
 
     for round_idx in range(start_round, rounds + 1):
         for attempt in range(max_retries + 1):
@@ -87,9 +93,11 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
 
     logger.info(f"=== round re{round_idx}: train ===")
     trainer = build_trainer(cfg, features=shared.get("features"),
-                            device_features=shared.get("device_features"))
+                            device_features=shared.get("device_features"),
+                            base_dataset=shared.get("dataset"))
     shared["features"] = getattr(trainer, "features", None)
     shared["device_features"] = getattr(trainer, "_device_features", None)
+    shared["dataset"] = getattr(trainer, "dataset", None)
     trainer.init_state()
     best = trainer.train()
 

@@ -63,3 +63,31 @@ def test_feature_store_pack_and_gather():
     assert list(lengths) == [10, 5]
     assert np.all(packed[1, 5:] == 0)  # zero padding past vlen
     assert np.all(packed[0] == 2)
+
+
+def test_synthetic_queries_per_video_share_features(tmp_path):
+    """queries_per_video>1 (real-data shape: ActivityNet ~3.4 moments/video):
+    records share videos; the packed table stays per-video."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_data import make_dataset
+
+    make_dataset(str(tmp_path), task="anet", n_train=10, n_test=5, vdim=16,
+                 max_raw_len=20, seed=3, queries_per_video=3)
+    feat_dir = os.path.join(str(tmp_path), "data", "features", "anet_i3d")
+    npys = [f for f in os.listdir(feat_dir) if f.endswith(".npy")]
+    # ceil(10/3)=4 train videos + ceil(5/3)=2 test videos
+    assert len(npys) == 6
+    train = json.load(open(os.path.join(str(tmp_path), "data", "anet_gt",
+                                        "train.json")))
+    assert len(train) == 10
+    assert len({r[0] for r in train}) == 4   # shared vids
+    # records of one vid agree on duration; store loads each vid once
+    store = FeatureStore.from_dir(feat_dir, max_vlen=8)
+    assert store.packed.shape[0] == 6
+    by_vid = {}
+    for vid, dur, span, sent in train:
+        by_vid.setdefault(vid, set()).add(dur)
+    assert all(len(d) == 1 for d in by_vid.values())

@@ -235,3 +235,38 @@ def test_resume_does_not_overwrite_better_checkpoint(trained):
     trainer.train()
     assert os.path.getmtime(marker) == mtime, \
         "continuation overwrote a better checkpoint"
+
+
+def test_respan_fast_path(tmp_path):
+    """Cross-round dataset reuse: only spans change -> re-span, don't
+    re-tokenize; any invariant violation falls back to a full rebuild."""
+    from hual_tpu.data.datasets import _respan_dataset
+    from hual_tpu.utils.metrics import time_to_index
+
+    base = {"train_set": [
+        {"sample_id": i, "vid": f"v{i}", "s_time": 1.0, "e_time": 2.0,
+         "duration": 10.0, "words": ["a"], "s_ind": 1, "e_ind": 2,
+         "v_len": 8, "w_ids": [5], "c_ids": [[1]]} for i in range(3)],
+        "n_words": 7}
+    new = [[f"v{i}", 10.0, [2.5, 7.5], "a"] for i in range(3)]
+    d = tmp_path / "re1"
+    d.mkdir()
+    (d / "train.json").write_text(json.dumps(new))
+
+    ds = _respan_dataset(base, str(d))
+    assert ds is not None and ds["n_words"] == 7
+    s, e = time_to_index(2.5, 7.5, 8, 10.0)
+    for rec in ds["train_set"]:
+        assert (rec["s_time"], rec["e_time"]) == (2.5, 7.5)
+        assert (rec["s_ind"], rec["e_ind"]) == (int(s), int(e))
+        assert rec["w_ids"] == [5]          # tokens untouched
+    # base records untouched (no aliasing of mutated fields)
+    assert base["train_set"][0]["s_time"] == 1.0
+
+    # invariant violations -> None (full rebuild path)
+    (d / "train.json").write_text(json.dumps(new[:2]))
+    assert _respan_dataset(base, str(d)) is None          # length change
+    bad = [[f"x{i}", 10.0, [2.5, 7.5], "a"] for i in range(3)]
+    (d / "train.json").write_text(json.dumps(bad))
+    assert _respan_dataset(base, str(d)) is None          # vid mismatch
+    assert _respan_dataset(base, str(tmp_path / "none")) is None

@@ -1,14 +1,14 @@
 #!/usr/bin/env python
-"""The full HUAL loop at exact Charades scale on synthetic data.
+"""The full HUAL loop at exact reference scale on synthetic data.
 
 Reproduces the reference's complete workflow end-to-end (reference
-run_charades.py: re0 train + infer, then rounds re1-re3 of
-update-labels -> train -> infer) at the real dataset scale
-(12,403 train / 3,720 test, 50 epochs, batch 16) with synthetic features,
-and reports per-stage wall times — the direct measurement of the
+run_charades.py / run_anet.py: re0 train + infer, then rounds of
+update-labels -> train -> infer) at the real dataset scale with synthetic
+features, and reports per-stage wall times — the direct measurement of the
 "full Charades loop < 1 h" target.
 
-    python tools/full_loop_demo.py --root /tmp/fullscale
+    python tools/full_loop_demo.py --root /tmp/fullscale            # charades
+    python tools/full_loop_demo.py --task anet --root /tmp/anetscale
 """
 
 from __future__ import annotations
@@ -23,23 +23,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from make_synthetic_data import make_dataset  # noqa: E402
 
+# reference scales: dataset sizes counted from data/*_gt (SURVEY.md §6),
+# train budgets from configs/{charades,anet}/SeqPAN.yaml:11-18, round counts
+# from run_charades.py:9 / run_anet.py:9.  ActivityNet Captions averages
+# several moments per video, hence queries_per_video=3.
+TASK_DEFAULTS = {
+    "charades": dict(n_train=12403, n_test=3720, epochs=50, rounds=3,
+                     max_vlen=64, queries_per_video=1),
+    "anet": dict(n_train=33721, n_test=17031, epochs=100, rounds=4,
+                 max_vlen=100, queries_per_video=3),
+}
+
 
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/hual_fullscale")
-    p.add_argument("--n-train", type=int, default=12403)
-    p.add_argument("--n-test", type=int, default=3720)
-    p.add_argument("--epochs", type=int, default=50)
-    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--task", default="charades", choices=list(TASK_DEFAULTS))
+    p.add_argument("--n-train", type=int, default=None)
+    p.add_argument("--n-test", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--rounds", type=int, default=None)
     a = p.parse_args()
+    d = TASK_DEFAULTS[a.task]
+    n_train = a.n_train or d["n_train"]
+    n_test = a.n_test or d["n_test"]
+    epochs = a.epochs or d["epochs"]
+    rounds = a.rounds or d["rounds"]
 
     times = {}
     t_all = time.time()
 
     t0 = time.time()
-    if not os.path.exists(os.path.join(a.root, "data", "charades_re0")):
-        make_dataset(a.root, task="charades", n_train=a.n_train,
-                     n_test=a.n_test, vdim=1024, max_raw_len=128, seed=7)
+    if not os.path.exists(os.path.join(a.root, "data", f"{a.task}_re0")):
+        make_dataset(a.root, task=a.task, n_train=n_train, n_test=n_test,
+                     vdim=1024, max_raw_len=2 * d["max_vlen"], seed=7,
+                     queries_per_video=d["queries_per_video"])
     times["datagen_s"] = round(time.time() - t0, 1)
 
     os.chdir(a.root)
@@ -47,22 +65,23 @@ def main() -> int:
                                  TrainConfig)
 
     base = Config(
-        task="charades",
+        task=a.task,
         paths=PathsConfig(
             ckpt_dir="./ckpt", cache_dir="./data_pkl/",
-            feature_path="./data/features/charades_i3d",
+            feature_path=f"./data/features/{a.task}_i3d",
             glove_path="./data/glove/glove.840B.300d.txt",
-            train_path="./data/charades_gt/train.json",
-            test_path="./data/charades_gt/test.json",
+            train_path=f"./data/{a.task}_gt/train.json",
+            test_path=f"./data/{a.task}_gt/test.json",
         ),
-        train=TrainConfig(epochs=a.epochs, batch_size=16, lr=1e-4,
+        train=TrainConfig(epochs=epochs, batch_size=16, lr=1e-4,
                           droprate=0.2, clip_norm=1.0),
-        model=ModelConfig(max_vlen=64, max_tlen=30, vdim=1024, dim=128,
-                          num_heads=8, word_dim=300, char_dim=50, attn_layer=2),
+        model=ModelConfig(max_vlen=d["max_vlen"], max_tlen=30, vdim=1024,
+                          dim=128, num_heads=8, word_dim=300, char_dim=50,
+                          attn_layer=2),
         loss=LossConfig(),
     )
-    os.makedirs("configs/charades", exist_ok=True)
-    base_path = "configs/charades/SeqPAN.yaml"
+    os.makedirs(f"configs/{a.task}", exist_ok=True)
+    base_path = f"configs/{a.task}/SeqPAN.yaml"
     base.save(base_path)
 
     from hual_tpu.cli import build_trainer
@@ -77,19 +96,24 @@ def main() -> int:
     times["re0_train_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     trainer.restore()
-    infer0 = trainer.infer_trainset(save_path="./results/charades/re0.pkl")
+    infer0 = trainer.infer_trainset(
+        save_path=f"./results/{a.task}/re0.pkl")
     times["re0_infer_s"] = round(time.time() - t0, 1)
+    warm = {"features": trainer.features,
+            "device_features": trainer._device_features,
+            "dataset": trainer.dataset}
     del trainer
 
-    # --- rounds 1..N
+    # --- rounds 1..N (reuse round 0's feature table + tokenized corpus)
     t0 = time.time()
-    history = run_rounds("charades", rounds=a.rounds,
-                         base_config_path=base_path)
+    history = run_rounds(a.task, rounds=rounds, base_config_path=base_path,
+                         warm_start=warm)
     times["rounds_1_to_N_s"] = round(time.time() - t0, 1)
     times["total_loop_s"] = round(time.time() - t_all, 1)
     times["total_loop_min"] = round(times["total_loop_s"] / 60, 1)
 
     summary = {
+        "task": a.task,
         "times": times,
         "re0_best": {k: v for k, v in best0.items() if not k.endswith("_line")},
         "re0_infer": infer0,

@@ -28,7 +28,12 @@ OBJECTS = ["door", "cup", "book", "broom", "bottle", "pillow", "laptop", "towel"
 
 def make_dataset(root: str, task: str = "charades", n_train: int = 64,
                  n_test: int = 32, vdim: int = 64, max_raw_len: int = 48,
-                 min_raw_len: int = 12, seed: int = 7) -> dict:
+                 min_raw_len: int = 12, seed: int = 7,
+                 queries_per_video: int = 1) -> dict:
+    """``queries_per_video > 1`` mirrors the real datasets (ActivityNet
+    Captions averages ~3.4 moments per video): records share videos, each
+    query's action pattern is injected into its own span of the shared
+    feature array, and the packed feature table stays per-video."""
     rng = np.random.default_rng(seed)
     feat_dir = os.path.join(root, "data", "features", f"{task}_i3d")
     os.makedirs(feat_dir, exist_ok=True)
@@ -38,25 +43,27 @@ def make_dataset(root: str, task: str = "charades", n_train: int = 64,
 
     def gen_records(n: int, offset: int) -> list:
         records = []
-        for i in range(n):
-            vid = f"v{offset + i:05d}"
+        n_videos = max(1, (n + queries_per_video - 1) // queries_per_video)
+        for v in range(n_videos):
+            vid = f"v{offset + v:05d}"
             raw_len = int(rng.integers(min_raw_len, max_raw_len + 1))
             duration = round(float(raw_len) * rng.uniform(0.4, 0.8), 2)
-            a = int(rng.integers(len(ACTIONS)))
-            o = int(rng.integers(len(OBJECTS)))
-            # a moment covering 20-60% of the video
-            span = rng.uniform(0.2, 0.6)
-            s_frac = rng.uniform(0.0, 1.0 - span)
-            s_time = round(s_frac * duration, 2)
-            e_time = round((s_frac + span) * duration, 2)
             feat = rng.normal(0.0, 1.0, size=(raw_len, vdim)).astype(np.float32)
-            lo = int(s_frac * raw_len)
-            hi = max(lo + 1, int((s_frac + span) * raw_len))
-            feat[lo:hi] += 2.0 * patterns[a]
+            for _ in range(min(queries_per_video, n - len(records))):
+                a = int(rng.integers(len(ACTIONS)))
+                o = int(rng.integers(len(OBJECTS)))
+                # a moment covering 20-60% of the video
+                span = rng.uniform(0.2, 0.6)
+                s_frac = rng.uniform(0.0, 1.0 - span)
+                s_time = round(s_frac * duration, 2)
+                e_time = round((s_frac + span) * duration, 2)
+                lo = int(s_frac * raw_len)
+                hi = max(lo + 1, int((s_frac + span) * raw_len))
+                feat[lo:hi] += 2.0 * patterns[a]
+                sentence = f"person {ACTIONS[a]} a {OBJECTS[o]}.\n"
+                records.append([vid, duration, [s_time, e_time], sentence])
             np.save(os.path.join(feat_dir, f"{vid}.npy"), feat)
             shapes[vid] = raw_len
-            sentence = f"person {ACTIONS[a]} a {OBJECTS[o]}.\n"
-            records.append([vid, duration, [s_time, e_time], sentence])
         return records
 
     train = gen_records(n_train, 0)
@@ -113,9 +120,11 @@ def main() -> int:
     p.add_argument("--vdim", type=int, default=64)
     p.add_argument("--max-raw-len", type=int, default=48)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--queries-per-video", type=int, default=1)
     a = p.parse_args()
     info = make_dataset(a.root, a.task, a.n_train, a.n_test, a.vdim,
-                        a.max_raw_len, seed=a.seed)
+                        a.max_raw_len, seed=a.seed,
+                        queries_per_video=a.queries_per_video)
     print(json.dumps(info))
     return 0
 
