@@ -41,7 +41,10 @@ def rank_uncertainty(data_old: list, data_gt: list, last_prop: list,
     def _stack_padded(rows: list[np.ndarray]) -> np.ndarray:
         rows = [np.asarray(r) for r in rows]
         width = max(r.shape[0] for r in rows)
-        out = np.zeros((len(rows), width), dtype=np.result_type(*rows))
+        # reduce over distinct dtypes, not one arg per record (NumPy 1.x caps
+        # result_type at 32 args; all rows come from one pickle field anyway)
+        out = np.zeros((len(rows), width),
+                       dtype=np.result_type(*{r.dtype for r in rows}))
         for i, r in enumerate(rows):
             out[i, :r.shape[0]] = r
         return out

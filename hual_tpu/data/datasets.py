@@ -160,6 +160,10 @@ def _respan_dataset(base: dict, data_dir: str) -> dict | None:
         vid, duration, (s_time, e_time) = new[0], new[1], new[2]
         if str(vid) != rec["vid"] or duration != rec["duration"]:
             return None
+        # anet records can share vid+duration; guard the query too so a
+        # rewritten/reordered sentence never reuses stale token ids
+        if tokenize(new[3]) != rec["words"]:
+            return None
         s_ind, e_ind = time_to_index(s_time, e_time, rec["v_len"], duration)
         r2 = dict(rec)
         r2.update(s_time=s_time, e_time=e_time,

@@ -92,12 +92,19 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
     cfg.save(f"{stem}_re{round_idx}{ext}")
 
     logger.info(f"=== round re{round_idx}: train ===")
+    # the shared feature cache is only valid for the same feature set and
+    # padding bound; key it on (feature_path, max_vlen) and drop stale entries
+    feat_key = (cfg.paths.feature_path, cfg.model.max_vlen)
+    if shared.get("feat_key") not in (None, feat_key):
+        shared.pop("features", None)
+        shared.pop("device_features", None)
     trainer = build_trainer(cfg, features=shared.get("features"),
                             device_features=shared.get("device_features"),
                             base_dataset=shared.get("dataset"))
     shared["features"] = getattr(trainer, "features", None)
     shared["device_features"] = getattr(trainer, "_device_features", None)
     shared["dataset"] = getattr(trainer, "dataset", None)
+    shared["feat_key"] = feat_key
     trainer.init_state()
     best = trainer.train()
 

@@ -115,12 +115,19 @@ def make_infer_step(model, mc_droprate: float = 0.0) -> Callable:
     defaults to 0.0 (models/model.py:26), so the reference's two stochastic
     passes are identical to the clean pass — reuse it instead of recomputing.
     A nonzero rate gives true MC-dropout (two extra stochastic forwards).
+
+    The reuse fast path additionally requires the model to have no OTHER
+    eval-time stochasticity: with the gumbel matching head enabled
+    (loss.no_gumbel: false) the reference samples gumbel noise in every
+    sess.run, so even at drop_rate 0 the two passes differ — in that case
+    the two extra forwards run with the gumbel RNG live.
     """
+    stochastic_eval = bool(getattr(model, "use_gumbel", False))
 
     def infer_step(params, batch, word_vectors, rng):
         clean = model.apply(params, batch, word_vectors, 0.0,
                             deterministic=True)
-        if mc_droprate == 0.0:
+        if mc_droprate == 0.0 and not stochastic_eval:
             mc1 = mc2 = clean
         else:
             r1, r2 = jax.random.split(rng)

@@ -104,6 +104,8 @@ class Trainer:
             # round-invariant; re-uploading GBs per round is pure waste)
             assert device_features.shape == feature_store.packed.shape, (
                 device_features.shape, feature_store.packed.shape)
+            assert device_features.dtype == feature_store.packed.dtype, (
+                device_features.dtype, feature_store.packed.dtype)
             self._device_features = device_features
         else:
             self._device_features = jax.device_put(feature_store.packed,

@@ -1,0 +1,474 @@
+"""Golden parity tests against the MOUNTED REFERENCE IMPLEMENTATION.
+
+Every other test in this suite checks hual_tpu against independently derived
+oracles; these tests import the reference's own code (read-only at
+/root/reference) and assert bit-identical outputs on shared random fixtures,
+so a shared misreading of the reference cannot pass (VERDICT.md round-1
+"missing #1"; SURVEY.md §7 step 6).
+
+Covered reference symbols:
+  update_label.py        — time_to_index_v2, index_to_time, mask_activepoints,
+                           renew_label, get_uncert_rank, get_coff, main (file
+                           round-trip)
+  utils/utils_hual.py    — fill_isactivate, get_segment, center_width_gauss,
+                           get_distance_score[_shift], sigmoid, append_AP,
+                           get_uncert_model, infer_idx, gene via data_utils
+  utils/data_loader.py   — TrainLoader.process_batch (label synthesis)
+  utils/data_utils.py    — time_to_index, index_to_time,
+                           visual_feature_sampling, gene_soft_label
+
+The reference needs `easydict`/`omegaconf` (absent from this container);
+minimal import shims are installed below — test scaffolding only, nothing
+from the reference is copied.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import math
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+# ---------------------------------------------------------------------------
+# import shims + reference module loading
+
+
+class _EasyDict(dict):
+    """Just enough of easydict.EasyDict for update_label.get_coff."""
+
+    def __init__(self, d=None, **kw):
+        super().__init__()
+        d = {} if d is None else dict(d)
+        d.update(kw)
+        for k, v in d.items():
+            self[k] = v
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, _EasyDict):
+            v = _EasyDict(v)
+        super().__setitem__(k, v)
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def _install_shims():
+    if "easydict" not in sys.modules:
+        try:
+            import easydict  # noqa: F401
+        except ImportError:
+            m = types.ModuleType("easydict")
+            m.EasyDict = _EasyDict
+            sys.modules["easydict"] = m
+    if "omegaconf" not in sys.modules:
+        try:
+            import omegaconf  # noqa: F401
+        except ImportError:
+            m = types.ModuleType("omegaconf")
+            m.OmegaConf = type("OmegaConf", (), {})
+            sys.modules["omegaconf"] = m
+
+
+def _load_ref():
+    """Import the reference modules (utils.* via sys.path; the root-level
+    update_label.py via an explicit file spec so it cannot collide with our
+    own root update_label.py shim)."""
+    _install_shims()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import utils.data_loader as ref_dl
+    import utils.data_utils as ref_du
+    import utils.utils_hual as ref_hual
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_update_label", os.path.join(REFERENCE, "update_label.py"))
+    ref_ul = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("ref_update_label", ref_ul)
+    spec.loader.exec_module(ref_ul)
+    return ref_ul, ref_hual, ref_dl, ref_du
+
+
+if not os.path.isdir(REFERENCE):  # pragma: no cover
+    pytest.skip("reference mount not available", allow_module_level=True)
+
+ref_ul, ref_hual, ref_dl, ref_du = _load_ref()
+
+from hual_tpu.active import renew as al_renew  # noqa: E402
+from hual_tpu.active import uncertainty as al_unc  # noqa: E402
+from hual_tpu.active.coefficients import F_RENEW, get_coff  # noqa: E402
+from hual_tpu.active.engine import rank_uncertainty, update_labels  # noqa: E402
+from hual_tpu.data.features import visual_feature_sampling  # noqa: E402
+from hual_tpu.data.labels import make_span_labels  # noqa: E402
+from hual_tpu.utils import metrics as m  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# fixtures
+
+
+def _random_ap(rng, vlen, kind):
+    """Random annotation state: pos-only / neg-only / mixed / empty."""
+    pos, neg = [], []
+    if kind in ("pos", "mixed"):
+        pos = sorted(rng.integers(0, vlen, rng.integers(1, 4)).tolist())
+    if kind in ("neg", "mixed"):
+        neg = sorted(rng.integers(0, vlen, rng.integers(1, 4)).tolist())
+    if kind == "mixed":  # keep negs off the pos span (matches oracle usage)
+        lo, hi = min(pos), max(pos)
+        neg = [i for i in neg if i < lo or i > hi]
+    return {"pos_idx": [int(p) for p in pos], "neg_idx": [int(n) for n in neg]}
+
+
+def _ap_cases(n=120, seed=0, max_vlen=64):
+    rng = np.random.default_rng(seed)
+    kinds = ["pos", "neg", "mixed", "empty"]
+    cases = []
+    for i in range(n):
+        vlen = int(rng.integers(4, max_vlen + 1))
+        cases.append((vlen, max_vlen, _random_ap(rng, vlen, kinds[i % 4])))
+    # deterministic edge cases
+    cases += [
+        (8, max_vlen, {"pos_idx": [0], "neg_idx": []}),
+        (8, max_vlen, {"pos_idx": [7], "neg_idx": [0]}),
+        (8, max_vlen, {"pos_idx": [], "neg_idx": [0, 7]}),
+        (8, max_vlen, {"pos_idx": [3, 3], "neg_idx": [0, 7]}),
+        (max_vlen, max_vlen, {"pos_idx": [], "neg_idx": []}),
+    ]
+    return cases
+
+
+# ---------------------------------------------------------------------------
+# geometry (utils/utils_hual.py:37-161)
+
+
+def test_fill_isactivate_and_segments_golden():
+    for vlen, max_vlen, ap in _ap_cases():
+        ref = ref_hual.fill_isactivate(ap["pos_idx"], ap["neg_idx"], vlen,
+                                       max_vlen)
+        ours = al_unc.fill_isactivate(ap["pos_idx"], ap["neg_idx"], vlen,
+                                      max_vlen)
+        np.testing.assert_array_equal(ref, ours)
+        assert ref_hual.get_segment(ref) == al_unc.zero_runs(ours)
+
+
+def test_center_width_gauss_golden():
+    rng = np.random.default_rng(1)
+    for _ in range(60):
+        max_vlen = int(rng.choice([16, 64, 100]))
+        vlen = int(rng.integers(2, max_vlen + 1))
+        center = float(rng.uniform(-2, max_vlen + 2))
+        width = float(rng.uniform(0.5, vlen))
+        ref = ref_hual.center_width_gauss(center, width, vlen, max_vlen)
+        ours = al_unc.center_width_gauss(center, width, vlen, max_vlen)
+        np.testing.assert_array_equal(ref, ours)
+
+
+def test_distance_scores_golden():
+    for vlen, max_vlen, ap in _ap_cases():
+        ref = ref_hual.get_distance_score(ap["pos_idx"], ap["neg_idx"],
+                                          vlen=vlen, max_vlen=max_vlen)
+        ours = al_unc.distance_score(ap["pos_idx"], ap["neg_idx"], vlen,
+                                     max_vlen)
+        np.testing.assert_array_equal(ref, ours)
+        for shift in (-0.3, 0.9):
+            rs, re_ = ref_hual.get_distance_score_shift(
+                ap["pos_idx"], ap["neg_idx"], vlen=vlen, max_vlen=max_vlen,
+                shift=shift)
+            os_, oe = al_unc.distance_score_shift(ap["pos_idx"], ap["neg_idx"],
+                                                  vlen, max_vlen, shift)
+            np.testing.assert_array_equal(rs, os_)
+            np.testing.assert_array_equal(re_, oe)
+
+
+def test_uncert_model_golden():
+    rng = np.random.default_rng(2)
+    N, T = 50, 64
+    s1, e1, s2, e2 = (rng.normal(size=(N, T)).astype(np.float32)
+                      for _ in range(4))
+    vlens = rng.integers(2, T + 1, N)
+    ours = al_unc.model_uncertainty_batch(s1, e1, s2, e2, vlens)
+    for i in range(N):
+        ref = ref_hual.get_uncert_model((s1[i].copy(), e1[i].copy()),
+                                        (s2[i].copy(), e2[i].copy()),
+                                        int(vlens[i]))
+        # torch.sigmoid (f32) vs np.exp differ by float32 ULPs only
+        np.testing.assert_allclose(ref, ours[i], rtol=0, atol=1e-6)
+
+
+def test_append_ap_golden():
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        gt = sorted(rng.integers(0, 64, 2).tolist())
+        p = int(rng.integers(0, 64))
+        ap_ref = {"pos_idx": [1], "neg_idx": [9]}
+        ap_ours = {"pos_idx": [1], "neg_idx": [9]}
+        assert ref_hual.append_AP(p, ap_ref, gt) == \
+            al_renew.append_annotation(p, ap_ours, gt)
+
+
+def test_infer_idx_golden():
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        s = rng.uniform(size=64).astype(np.float64)
+        e = rng.uniform(size=64).astype(np.float64)
+        assert tuple(ref_hual.infer_idx(s.copy(), e.copy())) == \
+            al_renew.infer_idx(s, e)
+
+
+# ---------------------------------------------------------------------------
+# label renewal (update_label.py:38-123, 212-218)
+
+
+def test_coefficients_golden():
+    for task in ("charades", "anet"):
+        assert ref_ul.F_renew[task] == F_RENEW[task]
+        for i in range(1, 7):
+            ref = ref_ul.get_coff(ref_ul.F_renew, task, i)
+            ours = get_coff(F_RENEW, task, i)
+            assert (ref.pos.old, ref.pos.model, ref.pos.distance) == \
+                (ours.pos.old, ours.pos.model, ours.pos.distance)
+            assert (ref.neg.old, ref.neg.model, ref.neg.distance) == \
+                (ours.neg.old, ours.neg.model, ours.neg.distance)
+            assert ref.uncert == ours.uncert
+
+
+def test_time_index_al_conventions_golden():
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        vlen = int(rng.integers(2, 101))
+        duration = float(rng.uniform(5, 60))
+        ts = [float(rng.uniform(0, duration)), float(rng.uniform(0, duration))]
+        assert ref_ul.time_to_index_v2(ts, duration, vlen) == \
+            m.time_to_index_al(ts, duration, vlen)
+        idxs = [int(rng.integers(0, vlen)), int(rng.integers(0, vlen))]
+        assert ref_ul.index_to_time(idxs, duration, vlen) == \
+            m.index_to_time_al(idxs, duration, vlen)
+
+
+def test_mask_activepoints_golden():
+    rng = np.random.default_rng(6)
+    for vlen, max_vlen, ap in _ap_cases(60, seed=7):
+        s = rng.uniform(size=max_vlen)
+        e = rng.uniform(size=max_vlen)
+        rs, re_ = ref_ul.mask_activepoints(s.copy(), e.copy(), ap["pos_idx"],
+                                           ap["neg_idx"], vlen=vlen)
+        os_, oe = al_renew.mask_activepoints(s.copy(), e.copy(), ap["pos_idx"],
+                                             ap["neg_idx"], vlen=vlen)
+        np.testing.assert_array_equal(rs, os_)
+        np.testing.assert_array_equal(re_, oe)
+
+
+def test_renew_label_golden():
+    rng = np.random.default_rng(8)
+    for task in ("charades", "anet"):
+        for round_idx in (1, 2, 6):
+            coff_ref = ref_ul.get_coff(ref_ul.F_renew, task, round_idx)
+            coff_ours = get_coff(F_RENEW, task, round_idx)
+            for vlen, max_vlen, ap in _ap_cases(60, seed=round_idx):
+                old = sorted(rng.integers(0, vlen, 2).tolist())
+                s = rng.uniform(size=max_vlen)
+                e = rng.uniform(size=max_vlen)
+                ref = ref_ul.renew_label(list(old), dict(ap), s.copy(),
+                                         e.copy(), vlen, max_vlen, coff_ref)
+                ours = al_renew.renew_label(list(old), dict(ap), s.copy(),
+                                            e.copy(), vlen, max_vlen,
+                                            coff_ours)
+                assert ref == ours, (task, round_idx, vlen, ap)
+
+
+# ---------------------------------------------------------------------------
+# ranking (update_label.py:125-169)
+
+
+def _make_loop_fixture(n=40, seed=9, T=32, ragged=True):
+    """(data_old, data_gt, last_prop) triple in the reference file schema."""
+    rng = np.random.default_rng(seed)
+    data_old, data_gt, last_prop = [], [], []
+    for i in range(n):
+        vid = f"v{i:04d}"
+        duration = round(float(rng.uniform(10, 40)), 2)
+        vlen = int(rng.integers(4, T + 1))
+        width = int(rng.integers(vlen, T + 1)) if ragged else T
+        gt_s = float(rng.uniform(0, duration * 0.6))
+        gt_e = float(min(gt_s + rng.uniform(0.5, duration * 0.4), duration))
+        old_s = float(rng.uniform(0, duration * 0.6))
+        old_e = float(min(old_s + rng.uniform(0.5, duration * 0.4), duration))
+        kind = ["pos", "neg", "mixed", "empty"][i % 4]
+        ap = _random_ap(rng, vlen, kind)
+        data_gt.append([vid, duration, [gt_s, gt_e], f"query {i}"])
+        data_old.append([vid, duration, [old_s, old_e], f"query {i}", ap])
+        last_prop.append({
+            "vid": vid, "duration": duration, "v_len": vlen,
+            "prop_logits": [rng.normal(size=width).astype(np.float32),
+                            rng.normal(size=width).astype(np.float32)],
+            "prop_logits1": [rng.normal(size=width).astype(np.float32),
+                             rng.normal(size=width).astype(np.float32)],
+            "prop_logits2": [rng.normal(size=width).astype(np.float32),
+                             rng.normal(size=width).astype(np.float32)],
+        })
+    return data_old, data_gt, last_prop
+
+
+def test_uncert_rank_golden():
+    import copy
+
+    data_old, data_gt, last_prop = _make_loop_fixture()
+    coff_ref = ref_ul.get_coff(ref_ul.F_renew, "charades", 1)
+    coff_ours = get_coff(F_RENEW, "charades", 1)
+    ref = ref_ul.get_uncert_rank(copy.deepcopy(data_old), data_gt,
+                                 copy.deepcopy(last_prop), coff_ref)
+    ours = rank_uncertainty(copy.deepcopy(data_old), data_gt,
+                            copy.deepcopy(last_prop), coff_ours)
+    assert [r["idx"] for r in ref] == [r["idx"] for r in ours]
+    for r, o in zip(ref, ours):
+        assert r["gt_idx"] == o["gt_idx"]
+        assert r["old_idx"] == o["old_idx"]
+        assert r["vlen"] == o["vlen"] and r["max_vlen"] == o["max_vlen"]
+        np.testing.assert_allclose(r["uncert_video"], o["uncert_video"],
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(r["uncert_frame"],
+                                   o["uncert_frame"][:r["max_vlen"]],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(r["sprob"], o["sprob"], rtol=0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# full file-level round: reference update_label.main vs our update_labels
+
+
+def test_update_labels_file_roundtrip_golden(tmp_path):
+    """Run one complete label-update round through BOTH implementations from
+    identical on-disk state (train.json + GT + prediction pickle) and compare
+    the written train.json files element-wise."""
+    data_old, data_gt, last_prop = _make_loop_fixture(n=60, seed=11)
+    data_old4 = [rec[:4] for rec in data_old]  # first round: 4-field records
+
+    def _prep(root):
+        os.makedirs(root / "data" / "charades_re0", exist_ok=True)
+        os.makedirs(root / "data" / "charades_gt", exist_ok=True)
+        os.makedirs(root / "results" / "charades", exist_ok=True)
+        with open(root / "data" / "charades_re0" / "train.json", "w") as f:
+            json.dump(data_old4, f)
+        with open(root / "data" / "charades_gt" / "train.json", "w") as f:
+            json.dump(data_gt, f)
+        with open(root / "data" / "charades_gt" / "test.json", "w") as f:
+            json.dump(data_gt, f)
+        with open(root / "results" / "charades" / "re0.pkl", "wb") as f:
+            pickle.dump(last_prop, f)
+
+    ref_root = tmp_path / "ref"
+    our_root = tmp_path / "ours"
+    _prep(ref_root)
+    _prep(our_root)
+
+    # reference main() (module-global GT_PATH is set in its __main__ block;
+    # set it explicitly here)
+    coff = ref_ul.get_coff(ref_ul.F_renew, "charades", 1)
+    ref_ul.GT_PATH = str(ref_root / "data" / "charades_gt" / "train.json")
+    os.makedirs(ref_root / "data" / "charades_re1", exist_ok=True)
+    ref_ul.main(str(ref_root / "data" / "charades_re0" / "train.json"),
+                str(ref_root / "data" / "charades_re1" / "train.json"),
+                str(ref_root / "results" / "charades" / "re0.pkl"), coff)
+
+    update_labels("charades", 1, data_root=str(our_root / "data"),
+                  results_root=str(our_root / "results"))
+
+    with open(ref_root / "data" / "charades_re1" / "train.json") as f:
+        ref_new = json.load(f)
+    with open(our_root / "data" / "charades_re1" / "train.json") as f:
+        our_new = json.load(f)
+    assert len(ref_new) == len(our_new)
+    for r, o in zip(ref_new, our_new):
+        assert r[0] == o[0] and r[1] == o[1]
+        assert r[2] == o[2], (r[0], r[2], o[2])  # renewed [s_time, e_time]
+        assert r[4] == o[4]                       # accumulated annotations
+
+
+# ---------------------------------------------------------------------------
+# data pipeline (utils/data_loader.py:30-98, utils/data_utils.py:56-127)
+
+
+def test_label_synthesis_golden():
+    """Reference TrainLoader.process_batch vs our vectorized make_span_labels
+    on mixed-vlen batches."""
+    rng = np.random.default_rng(12)
+    T, V = 24, 8
+    configs = types.SimpleNamespace(train=types.SimpleNamespace(batch_size=16))
+    for trial in range(5):
+        records, feats = [], {}
+        for i in range(16):
+            vid = f"t{trial}_{i}"
+            vlen = T if i == 0 else int(rng.integers(2, T + 1))
+            feats[vid] = rng.normal(size=(vlen, V)).astype(np.float32)
+            s = int(rng.integers(0, vlen))
+            e = int(rng.integers(s, vlen))
+            records.append({"vid": vid, "s_ind": s, "e_ind": e, "v_len": vlen,
+                            "w_ids": [1, 2, 3], "c_ids": [[1], [2], [3]],
+                            "duration": 10.0})
+        loader = ref_dl.TrainLoader(records, feats, configs)
+        (vfeats, vfeat_lens, _, _, s_lab, e_lab, match_lab,
+         inner_lab) = loader.process_batch(records)
+        max_len = int(np.max(vfeat_lens))
+        assert max_len == T  # i == 0 pins the batch max
+        y1, y2, match, inner = make_span_labels(
+            np.asarray([r["s_ind"] for r in records]),
+            np.asarray([r["e_ind"] for r in records]),
+            np.asarray([r["v_len"] for r in records]), T)
+        np.testing.assert_allclose(s_lab, y1, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(e_lab, y2, rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(match_lab, match)
+        np.testing.assert_array_equal(inner_lab, inner)
+
+
+def test_time_to_index_trainer_golden():
+    rng = np.random.default_rng(13)
+    for _ in range(50):
+        vlen = int(rng.integers(2, 101))
+        duration = float(rng.uniform(5, 60))
+        s_t = float(rng.uniform(0, duration))
+        e_t = float(min(s_t + rng.uniform(0, duration - s_t), duration))
+        ref_s, ref_e = ref_du.time_to_index(s_t, e_t, vlen, duration)
+        our_s, our_e = m.time_to_index(s_t, e_t, vlen, duration)
+        assert (int(ref_s), int(ref_e)) == (int(our_s), int(our_e))
+        idx = [int(rng.integers(0, vlen)), int(rng.integers(0, vlen))]
+        ref_t = ref_du.index_to_time(idx, vlen, duration)
+        our_t = m.index_to_time(idx[0], idx[1], vlen, duration)
+        # the reference builds its time grid in float32; f32 ULP tolerance
+        np.testing.assert_allclose(ref_t, our_t, rtol=1e-6, atol=0)
+
+
+def test_visual_feature_sampling_golden():
+    rng = np.random.default_rng(14)
+    for n_clips in (5, 64, 65, 100, 137, 400):
+        feat = rng.normal(size=(n_clips, 16)).astype(np.float32)
+        for max_clips in (64, 100):
+            ref = ref_du.visual_feature_sampling(feat.copy(),
+                                                 max_num_clips=max_clips)
+            ours = visual_feature_sampling(feat.copy(), max_clips)
+            np.testing.assert_allclose(ref, ours, rtol=0, atol=1e-5)
+
+
+def test_gene_soft_label_golden():
+    from hual_tpu.data.labels import gene_soft_label
+
+    rng = np.random.default_rng(15)
+    for _ in range(20):
+        L = int(rng.integers(8, 64))
+        vlen = int(rng.integers(2, L + 1))
+        s = int(rng.integers(0, vlen))
+        e = int(rng.integers(s, vlen))
+        ref_s, ref_e, ref_m = ref_du.gene_soft_label(s, e, vlen, L, 0.3)
+        our_s, our_e, our_m = gene_soft_label(s, e, vlen, L, 0.3)
+        np.testing.assert_allclose(ref_s, our_s, rtol=0, atol=1e-7)
+        np.testing.assert_allclose(ref_e, our_e, rtol=0, atol=1e-7)
+        np.testing.assert_allclose(ref_m, our_m, rtol=0, atol=1e-7)

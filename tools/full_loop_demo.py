@@ -45,10 +45,10 @@ def main() -> int:
     p.add_argument("--rounds", type=int, default=None)
     a = p.parse_args()
     d = TASK_DEFAULTS[a.task]
-    n_train = a.n_train or d["n_train"]
-    n_test = a.n_test or d["n_test"]
-    epochs = a.epochs or d["epochs"]
-    rounds = a.rounds or d["rounds"]
+    n_train = a.n_train if a.n_train is not None else d["n_train"]
+    n_test = a.n_test if a.n_test is not None else d["n_test"]
+    epochs = a.epochs if a.epochs is not None else d["epochs"]
+    rounds = a.rounds if a.rounds is not None else d["rounds"]
 
     times = {}
     t_all = time.time()
