@@ -1,9 +1,14 @@
 """Query tokenization (reference utils/data_gen.py:23 uses nltk word_tokenize).
 
 ``nltk.word_tokenize`` = punkt sentence split + TreebankWordTokenizer.  The
-punkt model needs a download (unavailable offline), but VMR queries are single
-short sentences, for which Treebank alone produces identical output.  We use
-word_tokenize when punkt is present and fall back to Treebank otherwise.
+punkt model needs a download (unavailable offline); we use word_tokenize when
+punkt is present and fall back to Treebank over the whole query otherwise.
+
+The fallback is MEASURED exact on the reference corpora, not assumed: over
+all 87,626 sentences in /root/reference/data, 9 contain a sentence-internal
+split candidate and for all 9 the Treebank tokenization is split-invariant,
+so zero queries depend on punkt (tools/tokenizer_parity.py;
+results/tokenizer_parity.json; tests/test_tokenizer_parity.py).
 """
 
 from __future__ import annotations
