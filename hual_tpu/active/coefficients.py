@@ -56,12 +56,21 @@ class RoundCoeffs:
 
 
 def get_coff(table: dict, task: str, round_idx: int) -> RoundCoeffs:
-    """Slice the coefficient table at round I (reference update_label.py:212-218)."""
+    """Slice the coefficient table at round I (reference update_label.py:212-218).
+
+    Rounds past the table (the reference stops at 6; update_label.py:13-35)
+    EXTRAPOLATE by holding the last defined round's weights — the schedules
+    are constant from round 2 on, so this is the natural continuation for
+    the 10-round loop target.  Documented extrapolation, not reference data.
+    """
     t = table[task]
+    i = min(round_idx, len(t["uncert"]) - 1)
+    if round_idx < 1:
+        raise ValueError(f"rounds are 1-indexed, got {round_idx}")
     return RoundCoeffs(
-        pos=BranchCoeffs(**{k: v[round_idx] for k, v in t["pos"].items()}),
-        neg=BranchCoeffs(**{k: v[round_idx] for k, v in t["neg"].items()}),
-        uncert=t["uncert"][round_idx],
+        pos=BranchCoeffs(**{k: v[i] for k, v in t["pos"].items()}),
+        neg=BranchCoeffs(**{k: v[i] for k, v in t["neg"].items()}),
+        uncert=t["uncert"][i],
     )
 
 

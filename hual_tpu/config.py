@@ -51,6 +51,13 @@ class TrainConfig:
     # Default 0.0 reproduces that shipped behavior (docs/PARITY.md); set 0.5
     # for true MC-dropout uncertainty (the paper's stated method).
     mc_droprate: float = 0.0
+    # Data residency.  None (auto): device-resident dataset unless the
+    # feature table would exceed hbm_budget_gb per chip, then fall back to
+    # host streaming (per-batch host gather + prefetch thread).  True/False
+    # force a mode.  Both modes produce identical training trajectories
+    # (tests/test_host_streaming.py).
+    host_streaming: Optional[bool] = None
+    hbm_budget_gb: float = 12.0
 
 
 @dataclass
@@ -73,6 +80,15 @@ class ModelConfig:
     # TPU-native choice, used for all benchmarks), "high" (bf16x3) or
     # "highest" (full f32, closest to the reference's CUDA fp32 numerics)
     matmul_precision: str = "default"
+    # answer span decode backend: "xla" or "pallas" (fused VMEM kernel);
+    # bit-identical outputs (tests/test_pallas.py), measured comparison in
+    # docs/PROFILING.md §5
+    span_decode: str = "xla"
+    # storage dtype of the device-resident video feature table: "float32"
+    # (parity default) or "bfloat16" (halves HBM: ActivityNet at 33.7k
+    # records / T=100 / vdim=1024 is ~13.8 GB f32 vs ~6.9 GB bf16 on a
+    # 16 GB v5e chip).  Features are cast back to float32 on gather.
+    feature_dtype: str = "float32"
 
 
 @dataclass

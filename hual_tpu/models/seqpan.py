@@ -40,6 +40,11 @@ class SeqPAN(nn.Module):
     num_chars: int = 100
     tau: float = 0.3
     use_gumbel: bool = False
+    # answer decode backend: "xla" (ops/decode.py) or "pallas" (fused kernel,
+    # ops/pallas/span_decode.py — keeps the (B,T,T) outer product in VMEM).
+    # Bit-parity of the two is pinned by tests/test_pallas.py; the measured
+    # choice lives in docs/PROFILING.md §5.
+    span_decode: str = "xla"
 
     @classmethod
     def from_config(cls, config: Config) -> "SeqPAN":
@@ -47,7 +52,8 @@ class SeqPAN(nn.Module):
         return cls(dim=m.dim, num_heads=m.num_heads, attn_layer=m.attn_layer,
                    max_vlen=m.max_vlen, word_dim=m.word_dim, char_dim=m.char_dim,
                    num_chars=m.num_chars, tau=config.loss.tau,
-                   use_gumbel=not config.loss.no_gumbel)
+                   use_gumbel=not config.loss.no_gumbel,
+                   span_decode=m.span_decode)
 
     def setup(self):
         self.word_embs = WordEmbedding(self.word_dim)
@@ -123,7 +129,16 @@ class SeqPAN(nn.Module):
 
         start_logits, end_logits = self.predictor(outputs, v_mask, drop_rate,
                                                   drop_rate, deterministic)
-        start_index, end_index = span_decode(start_logits, end_logits, v_mask)
+        if self.span_decode == "pallas":
+            from hual_tpu.ops.pallas.span_decode import span_decode_pallas
+
+            # interpret mode off-TPU so CPU tests exercise the same wiring
+            start_index, end_index = span_decode_pallas(
+                start_logits, end_logits, v_mask,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            start_index, end_index = span_decode(start_logits, end_logits,
+                                                 v_mask)
         return {
             "v_mask": v_mask, "q_mask": q_mask,
             "q2v_feats": q2v_feats, "v2q_feats": v2q_feats,

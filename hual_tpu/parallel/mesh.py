@@ -50,6 +50,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def feature_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard a (num_videos, T, D) feature table across EVERY mesh device
+    (both axes).  The big per-chip HBM win: ActivityNet's table is ~13.8 GB
+    f32 — replicated it caps the design at one chip's memory, sharded it
+    scales with the mesh.  Row count must be padded to a multiple of
+    mesh.size (pad_rows)."""
+    return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+
+
+def vocab_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard the frozen GloVe matrix over the `model` axis."""
+    return NamedSharding(mesh, P(MODEL_AXIS))
+
+
+def pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad axis 0 to a multiple of `multiple` (sharding divisibility).
+    Padding rows are never indexed (feat_rows/word ids point below the
+    original row count)."""
+    pad = (-arr.shape[0]) % multiple
+    if pad == 0:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)], axis=0)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """device_put every array in the batch with its leading axis on `data`."""
     sh = batch_sharding(mesh)

@@ -52,8 +52,13 @@ def gather_batch(data: dict, sel: jnp.ndarray, with_labels: bool) -> dict:
         return jnp.take(data[name], sel, axis=0)
 
     feat_rows = take("feat_rows")
+    feats = jnp.take(data["features"], feat_rows, axis=0)
+    if feats.dtype != jnp.float32:
+        # the table may be stored bf16 (model.feature_dtype) to halve HBM;
+        # compute stays f32 — only the B gathered rows are cast
+        feats = feats.astype(jnp.float32)
     batch = {
-        "video_features": jnp.take(data["features"], feat_rows, axis=0),
+        "video_features": feats,
         "video_seq_len": take("v_len"),
         "word_ids": take("word_ids"),
         "char_ids": take("char_ids"),

@@ -23,13 +23,16 @@ from hual_tpu.data.features import FeatureStore
 from hual_tpu.data.loader import EvalLoader, PackedDataset, TrainLoader
 from hual_tpu.models.registry import get_model_class
 from hual_tpu.ops.optim import make_optimizer
-from hual_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
-                                    scan_batch_sharding)
+from hual_tpu.data.loader import prefetch
+from hual_tpu.parallel.mesh import (batch_sharding, feature_sharding,
+                                    make_mesh, pad_rows, replicated,
+                                    scan_batch_sharding, vocab_sharding)
 from hual_tpu.runtime.logger import get_logger
 from hual_tpu.runtime.observability import MetricsWriter, StepTimer, trace
-from hual_tpu.runtime.steps import (make_eval_sweep_indexed,
+from hual_tpu.runtime.steps import (make_eval_step, make_eval_sweep_indexed,
+                                    make_infer_step,
                                     make_infer_sweep_indexed,
-                                    make_train_epoch_indexed,
+                                    make_train_epoch_indexed, make_train_step,
                                     make_train_step_indexed)
 from hual_tpu.utils.io import save_pickle
 from hual_tpu.utils.metrics import rank1_metrics
@@ -86,34 +89,58 @@ class Trainer:
         self._repl = replicated(self.mesh)
         self._batch_sh = batch_sharding(self.mesh)
         self._scan_sh = scan_batch_sharding(self.mesh)
-        self.word_vectors = jax.device_put(
-            jnp.asarray(dataset["word_vector"], jnp.float32), self._repl)
+        self.word_vectors = self._put_word_vectors(dataset["word_vector"])
 
-        # device-resident data: the whole split lives in HBM; per step the
-        # host sends only the batch index vector.  This is both the natural
-        # TPU design (features pinned once, gathered on device) and the fix
-        # for per-step host<->device round-trip latency.
-        feat_gb = feature_store.packed.nbytes / 1e9
-        if feat_gb > 8.0:
-            self.logger.warning(
-                f"device-resident features are {feat_gb:.1f} GB; v5e HBM is "
-                f"16 GB/chip — shard the feature table or lower max_vlen if "
-                f"allocation fails")
-        if device_features is not None:
-            # reuse a previous round's device-resident table (features are
-            # round-invariant; re-uploading GBs per round is pure waste)
-            assert device_features.shape == feature_store.packed.shape, (
-                device_features.shape, feature_store.packed.shape)
-            assert device_features.dtype == feature_store.packed.dtype, (
-                device_features.dtype, feature_store.packed.dtype)
-            self._device_features = device_features
+        # --- data residency -------------------------------------------------
+        # Default: device-resident dataset — the whole split lives in HBM
+        # (feature table SHARDED over every mesh device, optionally bf16);
+        # per step the host sends only the batch index vector.  Fallback:
+        # host streaming for tables that exceed the per-chip HBM budget even
+        # sharded/compressed (prefetch thread + per-batch upload).
+        self._feat_dtype = self._feature_dtype()
+        table_rows = feature_store.packed.shape[0]
+        if self.mesh.size > 1:
+            table_rows += (-table_rows) % self.mesh.size
+        self._table_spec = ((table_rows,) + feature_store.packed.shape[1:],
+                            np.dtype(self._feat_dtype))
+        per_chip_gb = (np.prod(self._table_spec[0], dtype=np.int64)
+                       * self._table_spec[1].itemsize / 1e9 / self.mesh.size)
+        hs = config.train.host_streaming
+        self.host_streaming = (per_chip_gb > config.train.hbm_budget_gb
+                               if hs is None else bool(hs))
+
+        if self.host_streaming:
+            self.logger.info(
+                f"host-streaming mode: feature table would be "
+                f"{per_chip_gb:.1f} GB/chip (budget "
+                f"{config.train.hbm_budget_gb} GB); batches are gathered on "
+                f"host and prefetched")
+            self._device_features = None
+            self._train_data = self._test_data = self._val_data = None
+            self._train_step_host = jax.jit(
+                make_train_step(self.model, self.tx,
+                                config.loss.match_lambda,
+                                config.train.droprate),
+                donate_argnums=(0, 1))
+            self._eval_step_host = jax.jit(make_eval_step(self.model))
+            self._infer_step_host = jax.jit(make_infer_step(
+                self.model, config.train.mc_droprate))
         else:
-            self._device_features = jax.device_put(feature_store.packed,
-                                                   self._repl)
-        self._train_data = self._device_data(self.train_set)
-        self._test_data = self._device_data(self.test_set)
-        self._val_data = (self._device_data(self.val_set)
-                          if self.val_set is not None else None)
+            if device_features is not None:
+                # reuse a previous round's device-resident table (features
+                # are round-invariant; re-uploading GBs per round is waste)
+                assert device_features.shape == self._table_spec[0], (
+                    device_features.shape, self._table_spec[0])
+                assert device_features.dtype == self._table_spec[1], (
+                    device_features.dtype, self._table_spec[1])
+                self._device_features = device_features
+            else:
+                self._device_features = self._put_feature_table(
+                    feature_store.packed)
+            self._train_data = self._device_data(self.train_set)
+            self._test_data = self._device_data(self.test_set)
+            self._val_data = (self._device_data(self.val_set)
+                              if self.val_set is not None else None)
 
         self._train_step = jax.jit(
             make_train_step_indexed(self.model, self.tx,
@@ -154,6 +181,37 @@ class Trainer:
         self.logger.info(f"initialized {self.config.model.name}: "
                          f"{count_params(params)} params")
         return self.state
+
+    def _feature_dtype(self):
+        name = self.config.model.feature_dtype
+        if name in ("float32", "f32", ""):
+            return np.float32
+        if name in ("bfloat16", "bf16"):
+            import ml_dtypes
+            return ml_dtypes.bfloat16
+        raise ValueError(f"unsupported feature_dtype '{name}'")
+
+    def _put_feature_table(self, packed: np.ndarray) -> jax.Array:
+        """Upload the (num_videos, T, D) table: cast to the configured
+        storage dtype, pad rows to the mesh size, and shard rows across
+        EVERY device (feature_sharding) so per-chip HBM scales down with the
+        mesh.  Padding rows are never referenced by feat_rows."""
+        if packed.dtype != self._table_spec[1]:
+            packed = packed.astype(self._table_spec[1])
+        if self.mesh.size > 1:
+            packed = pad_rows(packed, self.mesh.size)
+            return jax.device_put(packed, feature_sharding(self.mesh))
+        return jax.device_put(packed, self._repl)
+
+    def _put_word_vectors(self, wv: np.ndarray) -> jax.Array:
+        """GloVe matrix: row-sharded over the `model` axis when it exists
+        (ids index [zero, unk, table]; padding rows are never looked up)."""
+        wv = np.asarray(wv, np.float32)
+        model_size = int(self.mesh.shape.get("model", 1))
+        if model_size > 1:
+            wv = pad_rows(wv, model_size)
+            return jax.device_put(wv, vocab_sharding(self.mesh))
+        return jax.device_put(jnp.asarray(wv), self._repl)
 
     def _device_data(self, packed: PackedDataset) -> dict:
         cols = {"feat_rows": packed.feat_rows, "word_ids": packed.word_ids,
@@ -216,31 +274,50 @@ class Trainer:
             t0 = time.time()
             lr_arr = jnp.float32(cur_lr)
             with trace(f"train_epoch_{epoch}"):
-                # all full-size batches: ONE scanned dispatch for the epoch;
-                # the ragged remainder (if any) is one extra step call
-                all_sels = list(loader.index_iter(epoch))
-                full = [s for s in all_sels if len(s) == loader.batch_size]
-                rest = [s for s in all_sels if len(s) != loader.batch_size]
                 timer.start()
                 ious_parts, losses_parts = [], []
-                if full:
-                    sels_dev = self._put_sels(np.stack(full))
-                    (state.params, state.opt_state, losses,
-                     ious) = self._train_epoch(
-                        state.params, state.opt_state, self._train_data,
-                        sels_dev, self.word_vectors, lr_arr, base_rng,
-                        jnp.int32(global_step))
-                    global_step += len(full)
-                    ious_parts.append(ious.reshape(-1))
-                    losses_parts.append(losses)
-                for sel in rest:
-                    rng = jax.random.fold_in(base_rng, global_step)
-                    state.params, state.opt_state, metrics = self._train_step(
-                        state.params, state.opt_state, self._train_data,
-                        self._put_sel(sel), self.word_vectors, lr_arr, rng)
-                    ious_parts.append(metrics["ious"])
-                    losses_parts.append(metrics["loss"][None])
-                    global_step += 1
+                if self.host_streaming:
+                    # >HBM fallback: per-batch host gather + label synthesis
+                    # on a prefetch thread, per-batch upload; same batch
+                    # order and per-step RNG stream as the device path
+                    for sel, batch in prefetch(loader.batch_iter(epoch)):
+                        rng = jax.random.fold_in(base_rng, global_step)
+                        (state.params, state.opt_state,
+                         metrics) = self._train_step_host(
+                            state.params, state.opt_state, batch,
+                            self.word_vectors, lr_arr, rng)
+                        ious_parts.append(metrics["ious"])
+                        losses_parts.append(metrics["loss"][None])
+                        global_step += 1
+                else:
+                    # device-resident path: all full-size batches are ONE
+                    # scanned dispatch; the ragged remainder (if any) is one
+                    # extra step call
+                    all_sels = list(loader.index_iter(epoch))
+                    full = [s for s in all_sels
+                            if len(s) == loader.batch_size]
+                    rest = [s for s in all_sels
+                            if len(s) != loader.batch_size]
+                    if full:
+                        sels_dev = self._put_sels(np.stack(full))
+                        (state.params, state.opt_state, losses,
+                         ious) = self._train_epoch(
+                            state.params, state.opt_state, self._train_data,
+                            sels_dev, self.word_vectors, lr_arr, base_rng,
+                            jnp.int32(global_step))
+                        global_step += len(full)
+                        ious_parts.append(ious.reshape(-1))
+                        losses_parts.append(losses)
+                    for sel in rest:
+                        rng = jax.random.fold_in(base_rng, global_step)
+                        (state.params, state.opt_state,
+                         metrics) = self._train_step(
+                            state.params, state.opt_state, self._train_data,
+                            self._put_sel(sel), self.word_vectors, lr_arr,
+                            rng)
+                        ious_parts.append(metrics["ious"])
+                        losses_parts.append(metrics["loss"][None])
+                        global_step += 1
                 timer.stop(loader.num_samples())
             state.step = global_step
             # one device-side concat -> one host fetch per epoch
@@ -338,9 +415,18 @@ class Trainer:
     def test(self, split: str = "test") -> dict[str, float]:
         assert self.state is not None
         ds = {"test": self.test_set, "val": self.val_set}[split]
-        data = {"test": self._test_data, "val": self._val_data}[split]
         if ds is None:
             raise ValueError(f"{split} set is not available")
+        if self.host_streaming:
+            loader = EvalLoader(ds, self.config.eval_batch_size,
+                                pad_to_batch=True)
+            parts = []
+            for _, batch, n_valid in prefetch(loader.batch_iter()):
+                out = self._eval_step_host(self.state.params, batch,
+                                           self.word_vectors)
+                parts.append(np.asarray(out["ious"])[:n_valid])
+            return rank1_metrics(np.concatenate(parts))
+        data = {"test": self._test_data, "val": self._val_data}[split]
         # pad_to_batch: eval is per-row independent, so padding the final
         # ragged batch (dropped via the n_valid mask) keeps one trace; the
         # whole split is ONE scanned dispatch + ONE fetch, and the index
@@ -362,18 +448,32 @@ class Trainer:
             save_path = f"./results/{cfg.task}/{cfg.suffix}.pkl"
         rng = jax.random.key(cfg.train.seed if seed is None else seed)
         records = self.train_set.records
-        # the whole sweep is ONE scanned dispatch; one fetch per output field
-        # (per-batch fetches through a tunneled device cost ~100 ms each)
-        pairs, sels = self._sweep_sels(
-            "infer", self.train_set,
-            min(cfg.infer_batch_size, len(self.train_set)))
-        outs = self._infer_sweep(self.state.params, self._train_data, sels,
-                                 self.word_vectors, rng)
-        host: dict[str, np.ndarray] = {}
-        for k, v in outs.items():
-            stacked = np.asarray(v)  # (n_batches, B, ...)
-            host[k] = np.concatenate(
-                [stacked[i, :n] for i, (_, n) in enumerate(pairs)], axis=0)
+        batch_size = min(cfg.infer_batch_size, len(self.train_set))
+        if self.host_streaming:
+            # per-batch RNG = fold_in(rng, batch_index), identical to the
+            # scanned device path, so both modes write the same pickle
+            loader = EvalLoader(self.train_set, batch_size, pad_to_batch=True)
+            parts = []
+            for i, (_, batch, n_valid) in enumerate(
+                    prefetch(loader.batch_iter())):
+                out = self._infer_step_host(self.state.params, batch,
+                                            self.word_vectors,
+                                            jax.random.fold_in(rng, i))
+                parts.append({k: np.asarray(v)[:n_valid]
+                              for k, v in out.items()})
+            host = {k: np.concatenate([p[k] for p in parts], axis=0)
+                    for k in parts[0]}
+        else:
+            # the whole sweep is ONE scanned dispatch; one fetch per output
+            # field (per-batch fetches through a tunnel cost ~100 ms each)
+            pairs, sels = self._sweep_sels("infer", self.train_set, batch_size)
+            outs = self._infer_sweep(self.state.params, self._train_data,
+                                     sels, self.word_vectors, rng)
+            host = {}
+            for k, v in outs.items():
+                stacked = np.asarray(v)  # (n_batches, B, ...)
+                host[k] = np.concatenate(
+                    [stacked[i, :n] for i, (_, n) in enumerate(pairs)], axis=0)
 
         save_list = []
         for i, rec in enumerate(records):

@@ -21,6 +21,19 @@ def test_get_coff():
     assert c2.pos.distance == 0.2
 
 
+def test_get_coff_extrapolates_past_round_six():
+    """The reference table stops at round 6; rounds 7..10 (the 10-round loop
+    target) hold the round-6 weights — a documented extrapolation."""
+    import pytest
+
+    last = get_coff(F_RENEW, "charades", 6)
+    for i in (7, 10, 25):
+        assert get_coff(F_RENEW, "charades", i) == last
+    assert get_coff(F_RENEW, "anet", 10) == get_coff(F_RENEW, "anet", 6)
+    with pytest.raises(ValueError):
+        get_coff(F_RENEW, "charades", 0)
+
+
 def test_fill_isactivate_positives_and_negatives():
     a = fill_isactivate([5, 8], [2, 12], vlen=14, max_vlen=16)
     assert np.all(a[5:9] == 1)       # span between extreme positives

@@ -149,3 +149,77 @@ def test_two_dim_mesh_model_axis(setup):
     p, o, m = train_step(p, o, sharded, jax.device_put(wv, replicated(mesh)),
                          jnp.float32(1e-3), jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_feature_table_matches_replicated(setup):
+    """Row-sharding the feature table over every mesh device (the per-chip
+    HBM win that makes ActivityNet fit) must not change the training step:
+    same loss, same updated params as the replicated table.  The GloVe
+    matrix is likewise row-sharded over the model axis."""
+    from hual_tpu.parallel.mesh import (feature_sharding, pad_rows,
+                                        vocab_sharding)
+    from hual_tpu.runtime.steps import make_train_step_indexed
+
+    model, tx, batch, wv, params = setup
+    B = batch["s_ind"].shape[0]
+    mesh = make_mesh(model_parallel=2)
+    repl, bsh = replicated(mesh), batch_sharding(mesh)
+    base = {
+        "feat_rows": np.arange(B, dtype=np.int32),
+        "word_ids": batch["word_ids"], "char_ids": batch["char_ids"],
+        "s_ind": batch["s_ind"], "e_ind": batch["e_ind"],
+        "v_len": batch["video_seq_len"], "duration": batch["duration"],
+    }
+    step = jax.jit(make_train_step_indexed(model, tx, 1.0, 0.0))
+    lr, rng = jnp.float32(1e-3), jax.random.key(5)
+    sel = jax.device_put(np.arange(B, dtype=np.int32), bsh)
+
+    outs = []
+    for sharded_tables in (False, True):
+        data = {k: jax.device_put(v, repl) for k, v in base.items()}
+        if sharded_tables:
+            feats = pad_rows(batch["video_features"], mesh.size)
+            data["features"] = jax.device_put(feats, feature_sharding(mesh))
+            wv_dev = jax.device_put(pad_rows(wv, 2), vocab_sharding(mesh))
+        else:
+            data["features"] = jax.device_put(batch["video_features"], repl)
+            wv_dev = jax.device_put(wv, repl)
+        p = jax.device_put(params, repl)
+        o = jax.device_put(tx.init(params), repl)
+        p, o, m = step(p, o, data, sel, wv_dev, lr, rng)
+        outs.append((float(m["loss"]), jax.tree.leaves(jax.device_get(p))))
+
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    for a, b in zip(outs[0][1], outs[1][1]):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_bf16_feature_table_step(setup):
+    """bf16 table storage: gather_batch casts the gathered rows to f32; the
+    step runs and stays finite on the sharded mesh."""
+    import ml_dtypes
+
+    from hual_tpu.parallel.mesh import feature_sharding, pad_rows
+    from hual_tpu.runtime.steps import make_train_step_indexed
+
+    model, tx, batch, wv, params = setup
+    B = batch["s_ind"].shape[0]
+    mesh = make_mesh()
+    repl = replicated(mesh)
+    data = {
+        "feat_rows": np.arange(B, dtype=np.int32),
+        "word_ids": batch["word_ids"], "char_ids": batch["char_ids"],
+        "s_ind": batch["s_ind"], "e_ind": batch["e_ind"],
+        "v_len": batch["video_seq_len"], "duration": batch["duration"],
+    }
+    data = {k: jax.device_put(v, repl) for k, v in data.items()}
+    feats16 = pad_rows(batch["video_features"].astype(ml_dtypes.bfloat16),
+                       mesh.size)
+    data["features"] = jax.device_put(feats16, feature_sharding(mesh))
+    step = jax.jit(make_train_step_indexed(model, tx, 1.0, 0.0))
+    sel = jax.device_put(np.arange(B, dtype=np.int32), batch_sharding(mesh))
+    p, o, m = step(jax.device_put(params, repl),
+                   jax.device_put(tx.init(params), repl), data, sel,
+                   jax.device_put(wv, repl), jnp.float32(1e-3),
+                   jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))

@@ -43,6 +43,13 @@ def main() -> int:
     p.add_argument("--n-test", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--rounds", type=int, default=None)
+    p.add_argument("--mc-droprate", type=float, default=0.0,
+                   help="MC-dropout rate of the inference passes (0.0 = "
+                        "reference-shipped behavior; 0.5 = the paper's "
+                        "intended true-MC uncertainty)")
+    p.add_argument("--feature-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the device-resident feature table")
     a = p.parse_args()
     d = TASK_DEFAULTS[a.task]
     n_train = a.n_train if a.n_train is not None else d["n_train"]
@@ -74,10 +81,11 @@ def main() -> int:
             test_path=f"./data/{a.task}_gt/test.json",
         ),
         train=TrainConfig(epochs=epochs, batch_size=16, lr=1e-4,
-                          droprate=0.2, clip_norm=1.0),
+                          droprate=0.2, clip_norm=1.0,
+                          mc_droprate=a.mc_droprate),
         model=ModelConfig(max_vlen=d["max_vlen"], max_tlen=30, vdim=1024,
                           dim=128, num_heads=8, word_dim=300, char_dim=50,
-                          attn_layer=2),
+                          attn_layer=2, feature_dtype=a.feature_dtype),
         loss=LossConfig(),
     )
     os.makedirs(f"configs/{a.task}", exist_ok=True)
