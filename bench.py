@@ -155,6 +155,13 @@ def measure_null_roundtrip(jax, n=5) -> float:
 
 
 def main():
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update("jax_compilation_cache_dir",
+                           os.path.expanduser("~/.cache/hual_tpu_xla"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     from hual_tpu.runtime.steps import (make_infer_step_indexed,
@@ -196,8 +203,6 @@ def main():
                        donate_argnums=(0, 1))
     perm = np.random.default_rng(7).permutation(N).astype(np.int32)
     epoch_sels = jax.device_put(perm.reshape(N // B, B))
-    epoch_flops = compiled_flops(jax, epoch_fn, p_epoch, o_epoch, data,
-                                 epoch_sels, wv, lr, rng, jnp.int32(0))
     st2 = {"p": p_epoch, "o": o_epoch}
 
     def epoch_once():
@@ -207,7 +212,11 @@ def main():
 
     epoch_dt = time_loop(jax, epoch_once, n_warmup=2, n_iters=10)
     train_pps = N / epoch_dt
-    train_mfu = (epoch_flops / epoch_dt) / peak if np.isfinite(epoch_flops) \
+    # NB: cost_analysis counts a lax.scan body ONCE, so the epoch program's
+    # reported flops understate by n_batches; use the isolated step's flops
+    # (same body) x the number of scanned steps.
+    epoch_flops = step_flops * (N // B)
+    train_mfu = (epoch_flops / epoch_dt) / peak if np.isfinite(step_flops) \
         else float("nan")
 
     # AL sweep inference step at B=256 (threaded state: reuse updated params)

@@ -74,8 +74,6 @@ class ModelConfig:
     # filled in after dataset generation (reference main.py:34-35)
     num_chars: int = 0
     num_words: int = 0
-    # compute dtype for the TPU path; params/labels stay float32
-    compute_dtype: str = "float32"
     # XLA matmul precision: "default" (bf16 inputs, f32 accumulation — the
     # TPU-native choice, used for all benchmarks), "high" (bf16x3) or
     # "highest" (full f32, closest to the reference's CUDA fp32 numerics)
