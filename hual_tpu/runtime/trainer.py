@@ -318,12 +318,15 @@ class Trainer:
                         ious_parts.append(metrics["ious"])
                         losses_parts.append(metrics["loss"][None])
                         global_step += 1
-                timer.stop(loader.num_samples())
             state.step = global_step
-            # one device-side concat -> one host fetch per epoch
+            # one device-side concat -> one host fetch per epoch.  The fetch
+            # is the only trusted synchronization point (see PROFILING.md §1)
+            # so the step timer stops AFTER it — dispatch-to-fetch wall time,
+            # never an async artifact.
             train_m = rank1_metrics(np.asarray(jnp.concatenate(ious_parts)))
             train_m["loss"] = float(np.mean(np.asarray(
                 jnp.concatenate(losses_parts))))
+            timer.stop(loader.num_samples())
             dt = time.time() - t0
             sps = loader.num_samples() / max(dt, 1e-9)
             train_line = ("TRAIN:\t{r1i3:.2f}\t{r1i5:.2f}\t{r1i7:.2f}\t{miou:.2f}\t"
