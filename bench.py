@@ -161,6 +161,11 @@ def main():
         _jax.config.update("jax_compilation_cache_dir",
                            os.path.expanduser("~/.cache/hual_tpu_xla"))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # production per-stream PRNG defaults (TrainConfig.rng_impl /
+    # infer_rng_impl): rbg for the train step, threefry for the infer sweep
+    # — both directions measured on the real chip (PROFILING.md §3)
+    train_rng_impl = os.environ.get("HUAL_BENCH_RNG", "rbg")
+    infer_rng_impl = os.environ.get("HUAL_BENCH_INFER_RNG", "rbg")
 
     import jax.numpy as jnp
 
@@ -171,7 +176,8 @@ def main():
     jax, model, tx, data, wv, params = build()
     B, N = 16, 2000
     lr = jnp.float32(1e-4)
-    rng = jax.random.key(0)
+    rng = jax.random.key(0, impl=train_rng_impl)
+    infer_rng = jax.random.key(0, impl=infer_rng_impl)
     peak = device_peak_flops(jax)
     null_rt = measure_null_roundtrip(jax)
 
@@ -223,7 +229,7 @@ def main():
     infer_step = jax.jit(make_infer_step_indexed(model, 0.5))
     sel_big = jax.device_put(np.arange(256, dtype=np.int32))
     infer_flops = compiled_flops(jax, infer_step, st2["p"], data, sel_big,
-                                 wv, rng)
+                                 wv, infer_rng)
     carry = {"x": jnp.zeros((), jnp.int32)}
 
     def infer_once():
@@ -231,13 +237,32 @@ def main():
         # dependency on call i (no donated state here; the dependency chain
         # is what makes the final fetch await every iteration)
         out = infer_step(st2["p"], data, sel_big, wv,
-                         jax.random.fold_in(rng, carry["x"]))
+                         jax.random.fold_in(infer_rng, carry["x"]))
         carry["x"] = (jnp.sum(out["ious"]) * 0).astype(jnp.int32)
         return out["ious"]
 
     infer_dt = time_loop(jax, infer_once, n_warmup=3, n_iters=20)
     infer_mfu = (infer_flops / infer_dt) / peak if np.isfinite(infer_flops) \
         else float("nan")
+
+    # the PRODUCTION AL sweep: scanned multi-batch inference in one dispatch
+    # (robust against per-dispatch jitter that dominates single-step timing)
+    from hual_tpu.runtime.steps import make_infer_sweep_indexed
+    sweep = jax.jit(make_infer_sweep_indexed(model, 0.5))
+    sweep_sels = jax.device_put(
+        np.arange(2048, dtype=np.int32).reshape(8, 256) % N)
+    carry2 = {"x": jnp.zeros((), jnp.int32)}
+
+    def sweep_once():
+        out = sweep(st2["p"], data, sweep_sels, wv,
+                    jax.random.fold_in(infer_rng, carry2["x"]))
+        carry2["x"] = (jnp.sum(out["ious"]) * 0).astype(jnp.int32)
+        return out["ious"]
+
+    sweep_dt = time_loop(jax, sweep_once, n_warmup=2, n_iters=10)
+    sweep_pps = 2048 / sweep_dt
+    sweep_mfu = (infer_flops * 8 / sweep_dt) / peak \
+        if np.isfinite(infer_flops) else float("nan")
 
     # ---------------- honesty guards -----------------------------------
     for name, mfu in [("train_epoch", train_mfu), ("infer_b256", infer_mfu)]:
@@ -263,6 +288,10 @@ def main():
             "infer_b256_step_ms": round(infer_dt * 1e3, 3),
             "infer_b256_pairs_per_sec": round(256 / infer_dt, 1),
             "infer_mfu": round(infer_mfu, 4) if np.isfinite(infer_mfu) else None,
+            "infer_scanned_sweep_pairs_per_sec": round(sweep_pps, 1),
+            "infer_scanned_sweep_mfu": round(sweep_mfu, 4)
+            if np.isfinite(sweep_mfu) else None,
+            "rng_impls": {"train": train_rng_impl, "infer": infer_rng_impl},
             "null_roundtrip_ms": round(null_rt * 1e3, 2),
             "peak_flops_assumed": peak,
             "batch_size": B,

@@ -51,6 +51,15 @@ class TrainConfig:
     # Default 0.0 reproduces that shipped behavior (docs/PARITY.md); set 0.5
     # for true MC-dropout uncertainty (the paper's stated method).
     mc_droprate: float = 0.0
+    # JAX PRNG implementation per stream, from real-chip measurements
+    # (results/step_breakdown.json, docs/PROFILING.md §3): "rbg" (TPU
+    # hardware RNG) is 35% faster for the B=16 train step and 22% faster
+    # for the scanned B=256 inference sweep than "threefry" (whose mask
+    # generation is a large share of these small steps' FLOPs).  Dropout
+    # bits never matched the reference's TF stateful RNG anyway
+    # (docs/PARITY.md), so parity is distributional under any impl.
+    rng_impl: str = "rbg"        # train-step dropout/gumbel streams
+    infer_rng_impl: str = "rbg"  # MC-dropout inference sweep streams
     # Data residency.  None (auto): device-resident dataset unless the
     # feature table would exceed hbm_budget_gb per chip, then fall back to
     # host streaming (per-batch host gather + prefetch thread).  True/False

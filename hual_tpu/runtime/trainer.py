@@ -64,6 +64,15 @@ class Trainer:
         if config.model.matmul_precision != "default":
             jax.config.update("jax_default_matmul_precision",
                               config.model.matmul_precision)
+        # Per-stream PRNG backends (keys carry their impl; both default to
+        # the TPU hardware RNG "rbg"): measured on the real chip, rbg cuts
+        # the B=16 train step 35% and the scanned B=256 inference sweep 22%
+        # vs threefry, whose mask generation is a large share of these
+        # steps' FLOPs — results/step_breakdown.json, docs/PROFILING.md §3.
+        _impls = {"threefry": "threefry2x32", "threefry2x32": "threefry2x32",
+                  "rbg": "rbg", "unsafe_rbg": "unsafe_rbg"}
+        self._train_rng_impl = _impls[config.train.rng_impl]
+        self._infer_rng_impl = _impls[config.train.infer_rng_impl]
         self.config = config
         self.dataset = dataset
         self.features = feature_store
@@ -258,7 +267,8 @@ class Trainer:
         state = self.state
         loader = TrainLoader(self.train_set, cfg.train.batch_size,
                              seed=cfg.train.seed)
-        base_rng = jax.random.key(cfg.train.seed + 17)
+        base_rng = jax.random.key(cfg.train.seed + 17,
+                                  impl=self._train_rng_impl)
         # resume-safe: state.best_r1i7 (persisted by save_state) seeds the
         # threshold so a continuation can't overwrite a better checkpoint
         best = {"r1i7": state.best_r1i7, "train_line": "", "test_line": ""}
@@ -449,7 +459,8 @@ class Trainer:
         cfg = self.config
         if save_path is None:
             save_path = f"./results/{cfg.task}/{cfg.suffix}.pkl"
-        rng = jax.random.key(cfg.train.seed if seed is None else seed)
+        rng = jax.random.key(cfg.train.seed if seed is None else seed,
+                             impl=self._infer_rng_impl)
         records = self.train_set.records
         batch_size = min(cfg.infer_batch_size, len(self.train_set))
         if self.host_streaming:

@@ -17,8 +17,15 @@ import sys
 
 
 def main() -> int:
-    task = sys.argv[1] if len(sys.argv) > 1 else "charades"
-    path = os.path.join("results", task, "rounds_summary.json")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("task", nargs="?", default="charades")
+    ap.add_argument("--results-root", default="results",
+                    help="results directory (default ./results)")
+    a = ap.parse_args()
+    task = a.task
+    path = os.path.join(a.results_root, task, "rounds_summary.json")
     if not os.path.exists(path):
         print(f"no summary at {path}; run the orchestrator first", file=sys.stderr)
         return 1
