@@ -114,7 +114,8 @@ def time_loop(jax, fn, n_warmup, n_iters):
     out = None
     for _ in range(n_warmup):
         out = fn()
-    fetch_scalar(jax, out)  # sync: warmup fully done
+    if out is not None:
+        fetch_scalar(jax, out)  # sync: warmup fully done
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn()

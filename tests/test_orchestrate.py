@@ -158,3 +158,66 @@ def test_summary_script(tmp_path, monkeypatch, capsys):
     assert summary_performance.main() == 0
     out = capsys.readouterr().out
     assert "re1" in out and "0.5000" in out
+
+
+def test_shared_feature_cache_invalidated_on_feature_path_change(monkeypatch, tmp_path):
+    """The orchestrator's cross-round feature-table reuse must drop the
+    cached table when a round's (feature_path, max_vlen) key changes
+    (ADVICE round 1: a same-shape table from a different feature set must
+    never be silently reused)."""
+    import hual_tpu.orchestrate as orch
+    from hual_tpu.config import Config
+
+    calls = {}
+
+    class FakeTrainer:
+        def __init__(self):
+            self.features = object()
+            self._device_features = object()
+            self.dataset = {"d": 1}
+
+        def init_state(self):
+            pass
+
+        def train(self):
+            return {"r1i7": 1.0}
+
+        def restore(self):
+            pass
+
+        def infer_trainset(self, save_path=None):
+            return {"miou": 1.0}
+
+    def fake_build_trainer(cfg, features=None, device_features=None,
+                           base_dataset=None):
+        calls.setdefault("seen", []).append((features, device_features))
+        return FakeTrainer()
+
+    def fake_update_labels(task, round_idx, data_root=".", results_root="."):
+        return {"old_miou": 0.5, "new_miou": 0.6}
+
+    monkeypatch.setattr("hual_tpu.cli.build_trainer", fake_build_trainer)
+    monkeypatch.setattr(orch, "update_labels", fake_update_labels)
+
+    base = Config()
+    base.paths.feature_path = "/feat/v1"
+    logger = __import__("logging").getLogger("t")
+    shared: dict = {}
+    history: list = []
+
+    orch._run_one_round("charades", 1, base, str(tmp_path / "c.yaml"),
+                        ".", ".", logger, history, shared)
+    first_feats = shared["features"]
+    assert shared["feat_key"] == ("/feat/v1", base.model.max_vlen)
+
+    # same key -> round 2 reuses the cached objects
+    orch._run_one_round("charades", 2, base, str(tmp_path / "c.yaml"),
+                        ".", ".", logger, history, shared)
+    assert calls["seen"][1][0] is first_feats
+
+    # changed feature path -> cache dropped before building the trainer
+    base.paths.feature_path = "/feat/v2"
+    orch._run_one_round("charades", 3, base, str(tmp_path / "c.yaml"),
+                        ".", ".", logger, history, shared)
+    assert calls["seen"][2][0] is None
+    assert shared["feat_key"] == ("/feat/v2", base.model.max_vlen)
