@@ -33,7 +33,14 @@ def count_corpus(datasets) -> tuple[Counter, Counter]:
 
 def load_glove_for_words(glove_path: str, words: set[str], dim: int = 300
                          ) -> dict[str, np.ndarray]:
-    """One streaming pass: word -> vector for corpus words present in GloVe."""
+    """One streaming pass: word -> vector for corpus words present in GloVe.
+
+    Duplicate tokens: the LAST occurrence in the file wins, matching the
+    reference's filter_glove_embedding, which overwrites vectors[word_index]
+    on every file match (utils/data_gen.py:60-71).  GloVe-840B does contain
+    duplicate tokens, so this direction is observable on real data
+    (VERDICT r2 missing #2; golden-pinned in test_golden_reference.py).
+    """
     found: dict[str, np.ndarray] = {}
     with codecs.open(glove_path, mode="r", encoding="utf-8") as f:
         for line in f:
@@ -42,7 +49,7 @@ def load_glove_for_words(glove_path: str, words: set[str], dim: int = 300
             if len(parts) == 2 or len(parts) != dim + 1:
                 continue
             word = parts[0]
-            if word in words and word not in found:
+            if word in words:
                 found[word] = np.asarray([float(x) for x in parts[1:]], dtype=np.float32)
     return found
 

@@ -472,3 +472,56 @@ def test_gene_soft_label_golden():
         np.testing.assert_allclose(ref_s, our_s, rtol=0, atol=1e-7)
         np.testing.assert_allclose(ref_e, our_e, rtol=0, atol=1e-7)
         np.testing.assert_allclose(ref_m, our_m, rtol=0, atol=1e-7)
+
+
+def test_vocab_emb_gen_golden(tmp_path):
+    """Golden parity of the vocab/GloVe builder (reference vocab_emb_gen,
+    utils/data_gen.py:47-95) on a synthetic GloVe file exercising every
+    parser branch: a 2-field header line, malformed rows, multi-token
+    "words", and DUPLICATE tokens — where the reference's
+    filter_glove_embedding overwrites on every match so the LAST occurrence
+    wins (utils/data_gen.py:60-71; VERDICT r2 missing #2)."""
+    import utils.data_gen as ref_dg
+
+    from hual_tpu.data.vocab import vocab_emb_gen as our_vocab_emb_gen
+
+    rng = np.random.default_rng(42)
+    dim = 300
+
+    def row(word, vec):
+        return word + " " + " ".join("%.5f" % x for x in vec) + "\n"
+
+    words = ["the", "dog", "ran", "fast", "dup", "x!y", "zebra"]
+    vecs = {w: rng.normal(size=dim).astype(np.float32) for w in words}
+    dup_first = rng.normal(size=dim).astype(np.float32)
+    assert not np.allclose(dup_first, vecs["dup"])  # discriminating fixture
+
+    glove = tmp_path / "glove.txt"
+    with open(glove, "w", encoding="utf-8") as f:
+        f.write("2196018 300\n")                      # 2-field header line
+        f.write(row("the", vecs["the"]))
+        f.write(row("dup", dup_first))                # first occurrence
+        f.write(". . .", )                            # malformed row
+        f.write(" " + " ".join(["0.1"] * 5) + "\n")   # wrong field count
+        f.write(row("dog", vecs["dog"]))
+        f.write(row("ran", vecs["ran"]))
+        f.write(row("dup", vecs["dup"]))              # LAST occurrence wins
+        f.write(row("fast", vecs["fast"]))
+        f.write(row("x!y", vecs["x!y"]))
+        f.write(row("zebra", vecs["zebra"]))
+
+    # corpus: frequency-ordered overlap with GloVe + OOV words + chars
+    # straddling the count>=5 threshold
+    train = [{"words": ["the", "dog", "dup", "oovword", "the"]} for _ in range(4)]
+    test = [{"words": ["ran", "the", "x!y", "zzqqj"]} for _ in range(2)]
+
+    ref_wd, ref_cd, ref_vec = ref_dg.vocab_emb_gen([train, test], str(glove))
+    our_wd, our_cd, our_vec = our_vocab_emb_gen([train, test], str(glove))
+
+    assert our_wd == ref_wd
+    assert our_cd == ref_cd
+    np.testing.assert_array_equal(our_vec, ref_vec)
+    # the duplicate token resolved to the LAST file occurrence
+    np.testing.assert_allclose(ref_vec[ref_wd["dup"] - 2],
+                               np.asarray([float("%.5f" % x) for x in vecs["dup"]],
+                                          dtype=np.float32), rtol=0, atol=1e-6)
