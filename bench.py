@@ -144,6 +144,17 @@ def device_peak_flops(jax) -> float:
     return DEFAULT_PEAK
 
 
+def check_mfu(name: str, mfu: float) -> None:
+    """Honesty guard: refuse to publish a rate whose implied MFU exceeds the
+    hardware roofline (round 1 published one; PROFILING.md §1).  Raises
+    SystemExit so the driver records a failed bench instead of a bogus one."""
+    if np.isfinite(mfu) and mfu > 1.0:
+        raise SystemExit(
+            f"BENCH SELF-CHECK FAILED: {name} implies MFU {mfu:.2f} > 1 "
+            f"(> roofline). The measurement did not synchronize; refusing "
+            f"to publish an impossible number.")
+
+
 def measure_null_roundtrip(jax, n=5) -> float:
     """Median seconds for one tiny device->host fetch (tunnel latency)."""
     x = jax.device_put(np.zeros((8,), np.float32))
@@ -163,7 +174,7 @@ def main():
                            os.path.expanduser("~/.cache/hual_tpu_xla"))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     # production per-stream PRNG defaults (TrainConfig.rng_impl /
-    # infer_rng_impl): rbg for the train step, threefry for the infer sweep
+    # infer_rng_impl): rbg for BOTH the train step and the infer sweep
     # — both directions measured on the real chip (PROFILING.md §3)
     train_rng_impl = os.environ.get("HUAL_BENCH_RNG", "rbg")
     infer_rng_impl = os.environ.get("HUAL_BENCH_INFER_RNG", "rbg")
@@ -266,12 +277,9 @@ def main():
         if np.isfinite(infer_flops) else float("nan")
 
     # ---------------- honesty guards -----------------------------------
-    for name, mfu in [("train_epoch", train_mfu), ("infer_b256", infer_mfu)]:
-        if np.isfinite(mfu) and mfu > 1.0:
-            raise SystemExit(
-                f"BENCH SELF-CHECK FAILED: {name} implies MFU {mfu:.2f} > 1 "
-                f"(> roofline). The measurement did not synchronize; refusing "
-                f"to publish an impossible number.")
+    for name, mfu in [("train_epoch", train_mfu), ("infer_b256", infer_mfu),
+                      ("infer_sweep", sweep_mfu)]:
+        check_mfu(name, mfu)
     baseline = load_measured_baseline()
     ref_pps = float(baseline.get("ref_train_pairs_per_sec", 400.0))
 

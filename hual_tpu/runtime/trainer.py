@@ -251,11 +251,11 @@ class Trainer:
     def _sweep_sels(self, key: str, dataset, batch_size: int
                     ) -> tuple[list, jax.Array]:
         cached = self._sweep_cache.get(key)
-        if cached is None or cached[0] is not dataset:
+        if cached is None or cached[0] is not dataset or cached[3] != batch_size:
             loader = EvalLoader(dataset, batch_size, pad_to_batch=True)
             pairs = list(loader.index_iter())
             sels = self._put_sels(np.stack([s for s, _ in pairs]))
-            cached = (dataset, pairs, sels)
+            cached = (dataset, pairs, sels, batch_size)
             self._sweep_cache[key] = cached
         return cached[1], cached[2]
 
@@ -270,8 +270,13 @@ class Trainer:
         base_rng = jax.random.key(cfg.train.seed + 17,
                                   impl=self._train_rng_impl)
         # resume-safe: state.best_r1i7 (persisted by save_state) seeds the
-        # threshold so a continuation can't overwrite a better checkpoint
-        best = {"r1i7": state.best_r1i7, "train_line": "", "test_line": ""}
+        # threshold so a continuation can't overwrite a better checkpoint.
+        # epoch/*_metrics start as well-formed defaults so the "best" record
+        # stays summary-readable even when a resumed run never beats the
+        # persisted threshold (improved=False flags that case).
+        best = {"r1i7": state.best_r1i7, "train_line": "", "test_line": "",
+                "epoch": -1, "test_metrics": {}, "train_metrics": {},
+                "improved": False}
         ckptr = ocp.StandardCheckpointer()
         model_dir = os.path.abspath(self.config.model_dir())
         os.makedirs(model_dir, exist_ok=True)
@@ -365,7 +370,8 @@ class Trainer:
             if test_m["r1i7"] > best["r1i7"]:
                 best.update(r1i7=test_m["r1i7"], train_line=train_line,
                             test_line=test_line, epoch=epoch,
-                            test_metrics=test_m, train_metrics=train_m)
+                            test_metrics=test_m, train_metrics=train_m,
+                            improved=True)
                 state.best_r1i7 = float(test_m["r1i7"])
                 path = os.path.join(model_dir, "best")
                 if os.path.exists(path):

@@ -65,11 +65,12 @@ def test_compiled_flops_positive_for_matmul():
 
 
 def test_mfu_guard_blocks_impossible_rates():
-    """The exact guard expression bench.main uses: an MFU > 1 must abort."""
-    mfu = 3.08  # round-1's implied MFU
+    """bench.check_mfu — the guard bench.main actually calls — must abort on
+    MFU > 1 and pass through plausible or unknown (NaN) values."""
     with pytest.raises(SystemExit):
-        if np.isfinite(mfu) and mfu > 1.0:
-            raise SystemExit("refusing to publish an impossible number")
+        bench.check_mfu("train_epoch", 3.08)  # round-1's implied MFU
+    bench.check_mfu("train_epoch", 0.04)      # plausible: no raise
+    bench.check_mfu("train_epoch", float("nan"))  # unknown FLOPs: no raise
 
 
 def test_baseline_loader_prefers_measured_anchor():
