@@ -51,6 +51,13 @@ class TrainConfig:
     # Default 0.0 reproduces that shipped behavior (docs/PARITY.md); set 0.5
     # for true MC-dropout uncertainty (the paper's stated method).
     mc_droprate: float = 0.0
+    # Fold the clean + 2 stochastic MC passes into ONE 3B-row forward with a
+    # per-sample dropout-rate vector (runtime/steps.py make_infer_step):
+    # same FLOPs, 3x larger GEMMs, fewer scan steps.  Clean outputs are
+    # unchanged (rate-0 rows are deterministic); only the stochastic noise
+    # stream differs (distributional parity, docs/PARITY.md).  No effect at
+    # mc_droprate 0.0 (single clean pass) or with the gumbel head enabled.
+    fold_mc: bool = True
     # JAX PRNG implementation per stream, from real-chip measurements
     # (results/step_breakdown.json, docs/PROFILING.md §3): "rbg" (TPU
     # hardware RNG) is 35% faster for the B=16 train step and 22% faster

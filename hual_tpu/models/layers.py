@@ -19,12 +19,21 @@ from hual_tpu.ops.masking import attention_bias, mask_logits
 
 
 def dropout(module: nn.Module, x: jnp.ndarray, rate, deterministic: bool) -> jnp.ndarray:
-    """Inverted dropout with a dynamic rate (tf.nn.dropout semantics)."""
+    """Inverted dropout with a dynamic rate (tf.nn.dropout semantics).
+
+    ``rate`` may be a scalar or a per-sample vector of shape (batch,): the
+    folded MC-dropout inference path (runtime/steps.py make_infer_step)
+    concatenates the clean and stochastic passes into one forward and gives
+    the clean rows rate 0 — bernoulli(p=1) keeps everything, so those rows
+    are bitwise identical to a deterministic pass."""
     if deterministic:
         return x
     rng = module.make_rng("dropout")
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+    r = jnp.asarray(rate)
+    if r.ndim == 1:  # per-sample rates, broadcast over trailing axes
+        r = r.reshape(r.shape[0], *([1] * (x.ndim - 1)))
+    keep = jax.random.bernoulli(rng, 1.0 - r, x.shape)
+    return jnp.where(keep, x / (1.0 - r), jnp.zeros_like(x))
 
 
 class LayerNorm(nn.Module):

@@ -111,7 +111,8 @@ def make_eval_step(model) -> Callable:
     return eval_step
 
 
-def make_infer_step(model, mc_droprate: float = 0.0) -> Callable:
+def make_infer_step(model, mc_droprate: float = 0.0,
+                    fold_mc: bool = True) -> Callable:
     """Clean forward + two "MC-dropout" forwards in one compiled program
     (reference eval_test_save's 5 sess.runs, utils/runner_utils.py:75-81).
 
@@ -121,25 +122,50 @@ def make_infer_step(model, mc_droprate: float = 0.0) -> Callable:
     passes are identical to the clean pass — reuse it instead of recomputing.
     A nonzero rate gives true MC-dropout (two extra stochastic forwards).
 
+    ``fold_mc`` (default): the three logical passes run as ONE forward over
+    a 3B-row batch with a PER-SAMPLE dropout-rate vector [0,...,mc,...,mc]
+    — same FLOPs, 3x larger GEMMs, one third the scan steps' fixed costs
+    (the TPU sweep sat at 5.4% MFU on B=256 bodies, VERDICT r2 weak #1).
+    The clean rows see rate 0 == bitwise-deterministic (layers.dropout), so
+    prop_idx/m_score/clean logits are unchanged; the stochastic rows draw a
+    different (equally distributed) noise stream than the sequential path —
+    parity at mc>0 is distributional anyway (docs/PARITY.md).
+
     The reuse fast path additionally requires the model to have no OTHER
     eval-time stochasticity: with the gumbel matching head enabled
     (loss.no_gumbel: false) the reference samples gumbel noise in every
     sess.run, so even at drop_rate 0 the two passes differ — in that case
-    the two extra forwards run with the gumbel RNG live.
+    the two extra forwards run sequentially with the gumbel RNG live (the
+    folded path would add gumbel noise to the clean rows too).
     """
     stochastic_eval = bool(getattr(model, "use_gumbel", False))
 
     def infer_step(params, batch, word_vectors, rng):
-        clean = model.apply(params, batch, word_vectors, 0.0,
-                            deterministic=True)
-        if mc_droprate == 0.0 and not stochastic_eval:
-            mc1 = mc2 = clean
+        if mc_droprate != 0.0 and fold_mc and not stochastic_eval:
+            b = batch["video_features"].shape[0]
+            batch3 = {k: jnp.concatenate([v, v, v], axis=0)
+                      for k, v in batch.items()}
+            rates = jnp.concatenate([
+                jnp.zeros((b,), jnp.float32),
+                jnp.full((2 * b,), mc_droprate, jnp.float32)])
+            out3 = model.apply(params, batch3, word_vectors, rates,
+                               deterministic=False, rngs={"dropout": rng})
+            clean, mc1, mc2 = (
+                jax.tree.map(
+                    lambda x, lo=i * b: x[lo:lo + b] if jnp.ndim(x) else x,
+                    out3)
+                for i in range(3))
         else:
-            r1, r2 = jax.random.split(rng)
-            mc1 = model.apply(params, batch, word_vectors, mc_droprate,
-                              deterministic=False, rngs={"dropout": r1})
-            mc2 = model.apply(params, batch, word_vectors, mc_droprate,
-                              deterministic=False, rngs={"dropout": r2})
+            clean = model.apply(params, batch, word_vectors, 0.0,
+                                deterministic=True)
+            if mc_droprate == 0.0 and not stochastic_eval:
+                mc1 = mc2 = clean
+            else:
+                r1, r2 = jax.random.split(rng)
+                mc1 = model.apply(params, batch, word_vectors, mc_droprate,
+                                  deterministic=False, rngs={"dropout": r1})
+                mc2 = model.apply(params, batch, word_vectors, mc_droprate,
+                                  deterministic=False, rngs={"dropout": r2})
         ious = device_ious(clean["start_index"], clean["end_index"],
                            batch["s_ind"], batch["e_ind"],
                            batch["video_seq_len"], batch["duration"])
@@ -228,7 +254,8 @@ def make_eval_sweep_indexed(model) -> Callable:
     return sweep
 
 
-def make_infer_sweep_indexed(model, mc_droprate: float = 0.0) -> Callable:
+def make_infer_sweep_indexed(model, mc_droprate: float = 0.0,
+                             fold_mc: bool = True) -> Callable:
     """Whole-train-set MC-dropout inference as one scanned program.
 
     Replaces the reference's 5-sess.run-per-batch host loop
@@ -236,7 +263,7 @@ def make_infer_sweep_indexed(model, mc_droprate: float = 0.0) -> Callable:
     (n_batches, B) -> dict of (n_batches, B, ...) stacked outputs.
     Per-batch RNG = fold_in(rng, batch_index), matching the per-step path.
     """
-    step = make_infer_step_indexed(model, mc_droprate)
+    step = make_infer_step_indexed(model, mc_droprate, fold_mc)
 
     def sweep(params, data, sels, word_vectors, rng):
         idxs = jnp.arange(sels.shape[0], dtype=jnp.int32)
@@ -252,8 +279,9 @@ def make_infer_sweep_indexed(model, mc_droprate: float = 0.0) -> Callable:
     return sweep
 
 
-def make_infer_step_indexed(model, mc_droprate: float = 0.0) -> Callable:
-    base = make_infer_step(model, mc_droprate)
+def make_infer_step_indexed(model, mc_droprate: float = 0.0,
+                            fold_mc: bool = True) -> Callable:
+    base = make_infer_step(model, mc_droprate, fold_mc)
 
     def step(params, data, sel, word_vectors, rng):
         return base(params, gather_batch(data, sel, with_labels=False),

@@ -133,7 +133,8 @@ class Trainer:
                 donate_argnums=(0, 1))
             self._eval_step_host = jax.jit(make_eval_step(self.model))
             self._infer_step_host = jax.jit(make_infer_step(
-                self.model, config.train.mc_droprate))
+                self.model, config.train.mc_droprate,
+                config.train.fold_mc))
         else:
             if device_features is not None:
                 # reuse a previous round's device-resident table (features
@@ -163,7 +164,7 @@ class Trainer:
             donate_argnums=(0, 1))
         self._eval_sweep = jax.jit(make_eval_sweep_indexed(self.model))
         self._infer_sweep = jax.jit(make_infer_sweep_indexed(
-            self.model, config.train.mc_droprate))
+            self.model, config.train.mc_droprate, config.train.fold_mc))
         # eval/infer index matrices are a pure function of the (fixed) split
         # and batch size; build + upload once, not once per epoch
         self._sweep_cache: dict[str, tuple[Any, list, jax.Array]] = {}

@@ -109,3 +109,55 @@ def test_true_mc_round_respects_budget(mc_round):
         for r in new_train[24:])
     assert not (first_half_all and second_half_none), \
         "true-MC selection degenerated to dataset order"
+
+
+def test_folded_mc_step_semantics():
+    """The folded 3B-row MC infer step (steps.make_infer_step fold_mc):
+    clean outputs match the deterministic pass; the two stochastic passes
+    are real (differ from clean and from each other); the sequential
+    (fold_mc=False) path remains available and agrees on the clean part."""
+    import jax
+    import jax.numpy as jnp
+
+    from hual_tpu.models.seqpan import SeqPAN
+    from hual_tpu.runtime.steps import make_infer_step
+
+    B, T, W, C, V = 8, 16, 6, 5, 16
+    model = SeqPAN(dim=16, num_heads=2, attn_layer=1, max_vlen=T,
+                   word_dim=20, char_dim=8, num_chars=30)
+    rng_np = np.random.default_rng(5)
+    batch = {
+        "video_features": jnp.asarray(
+            rng_np.normal(size=(B, T, V)).astype(np.float32)),
+        "video_seq_len": jnp.asarray(
+            np.r_[np.full(B - 2, T), [9, 12]].astype(np.int32)),
+        "word_ids": jnp.asarray(rng_np.integers(1, 15, (B, W)).astype(np.int32)),
+        "char_ids": jnp.asarray(rng_np.integers(0, 30, (B, W, C)).astype(np.int32)),
+        "s_ind": jnp.asarray(rng_np.integers(0, T // 2, B).astype(np.int32)),
+        "e_ind": jnp.asarray(rng_np.integers(T // 2, T, B).astype(np.int32)),
+        "duration": jnp.asarray(rng_np.uniform(10, 30, B).astype(np.float32)),
+    }
+    wv = jnp.asarray(rng_np.normal(size=(13, 20)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, batch, wv, 0.0,
+                        deterministic=True)
+    rng = jax.random.key(99)
+
+    folded = jax.jit(make_infer_step(model, 0.5, fold_mc=True))(
+        params, batch, wv, rng)
+    seq = jax.jit(make_infer_step(model, 0.5, fold_mc=False))(
+        params, batch, wv, rng)
+
+    # clean part: identical semantics either way (rate-0 rows are
+    # deterministic); tolerance because XLA tiles 3B vs B differently
+    for k in ("start_logits", "end_logits", "match_scores", "ious"):
+        np.testing.assert_allclose(np.asarray(folded[k]), np.asarray(seq[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(folded["start_index"]),
+                                  np.asarray(seq["start_index"]))
+
+    # stochastic passes are real and independent
+    for out in (folded, seq):
+        assert not np.allclose(np.asarray(out["start_logits1"]),
+                               np.asarray(out["start_logits"]))
+        assert not np.allclose(np.asarray(out["start_logits1"]),
+                               np.asarray(out["start_logits2"]))

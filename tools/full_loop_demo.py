@@ -58,7 +58,6 @@ def main() -> int:
     rounds = a.rounds if a.rounds is not None else d["rounds"]
 
     times = {}
-    t_all = time.time()
 
     t0 = time.time()
     if not os.path.exists(os.path.join(a.root, "data", f"{a.task}_re0")):
@@ -67,29 +66,45 @@ def main() -> int:
                      queries_per_video=d["queries_per_video"])
     times["datagen_s"] = round(time.time() - t0, 1)
 
-    os.chdir(a.root)
+    return run_loop(a.root, a.task, epochs=epochs, rounds=rounds,
+                    max_vlen=d["max_vlen"], mc_droprate=a.mc_droprate,
+                    feature_dtype=a.feature_dtype, times=times)
+
+
+def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
+             mc_droprate: float = 0.0, feature_dtype: str = "float32",
+             times: dict | None = None,
+             summary_name: str = "full_loop_summary.json",
+             extra: dict | None = None) -> int:
+    """Run the complete HUAL loop (re0 train+infer, then `rounds` rounds of
+    update -> train -> infer) over the dataset laid out under <root>/data.
+    Reused by full-scale synthetic (main) and real-records
+    (tools/real_records_loop.py) runs."""
+    times = {} if times is None else times
+    t_all = time.time()
+    os.chdir(root)
     from hual_tpu.config import (Config, LossConfig, ModelConfig, PathsConfig,
                                  TrainConfig)
 
     base = Config(
-        task=a.task,
+        task=task,
         paths=PathsConfig(
             ckpt_dir="./ckpt", cache_dir="./data_pkl/",
-            feature_path=f"./data/features/{a.task}_i3d",
+            feature_path=f"./data/features/{task}_i3d",
             glove_path="./data/glove/glove.840B.300d.txt",
-            train_path=f"./data/{a.task}_gt/train.json",
-            test_path=f"./data/{a.task}_gt/test.json",
+            train_path=f"./data/{task}_gt/train.json",
+            test_path=f"./data/{task}_gt/test.json",
         ),
         train=TrainConfig(epochs=epochs, batch_size=16, lr=1e-4,
                           droprate=0.2, clip_norm=1.0,
-                          mc_droprate=a.mc_droprate),
-        model=ModelConfig(max_vlen=d["max_vlen"], max_tlen=30, vdim=1024,
+                          mc_droprate=mc_droprate),
+        model=ModelConfig(max_vlen=max_vlen, max_tlen=30, vdim=1024,
                           dim=128, num_heads=8, word_dim=300, char_dim=50,
-                          attn_layer=2, feature_dtype=a.feature_dtype),
+                          attn_layer=2, feature_dtype=feature_dtype),
         loss=LossConfig(),
     )
-    os.makedirs(f"configs/{a.task}", exist_ok=True)
-    base_path = f"configs/{a.task}/SeqPAN.yaml"
+    os.makedirs(f"configs/{task}", exist_ok=True)
+    base_path = f"configs/{task}/SeqPAN.yaml"
     base.save(base_path)
 
     from hual_tpu.cli import build_trainer
@@ -105,7 +120,7 @@ def main() -> int:
     t0 = time.time()
     trainer.restore()
     infer0 = trainer.infer_trainset(
-        save_path=f"./results/{a.task}/re0.pkl")
+        save_path=f"./results/{task}/re0.pkl")
     times["re0_infer_s"] = round(time.time() - t0, 1)
     warm = {"features": trainer.features,
             "device_features": trainer._device_features,
@@ -114,14 +129,14 @@ def main() -> int:
 
     # --- rounds 1..N (reuse round 0's feature table + tokenized corpus)
     t0 = time.time()
-    history = run_rounds(a.task, rounds=rounds, base_config_path=base_path,
+    history = run_rounds(task, rounds=rounds, base_config_path=base_path,
                          warm_start=warm)
     times["rounds_1_to_N_s"] = round(time.time() - t0, 1)
     times["total_loop_s"] = round(time.time() - t_all, 1)
     times["total_loop_min"] = round(times["total_loop_s"] / 60, 1)
 
     summary = {
-        "task": a.task,
+        "task": task,
         "times": times,
         "re0_best": {k: v for k, v in best0.items() if not k.endswith("_line")},
         "re0_infer": infer0,
@@ -133,8 +148,10 @@ def main() -> int:
             for h in history
         ],
     }
+    if extra:
+        summary.update(extra)
     print(json.dumps(summary, indent=2, default=float))
-    with open("full_loop_summary.json", "w") as f:
+    with open(summary_name, "w") as f:
         json.dump(summary, f, indent=2, default=float)
     return 0
 
