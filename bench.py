@@ -259,10 +259,18 @@ def main():
 
     # the PRODUCTION AL sweep: scanned multi-batch inference in one dispatch
     # (robust against per-dispatch jitter that dominates single-step timing)
-    from hual_tpu.runtime.steps import make_infer_sweep_indexed
+    # at the SHIPPED infer batch size: B=96, the measured optimum of the
+    # {32..1024} x {folded,sequential} grid (results/sweep_ablation*.json)
+    from hual_tpu.runtime.steps import (make_infer_step_indexed,
+                                        make_infer_sweep_indexed)
+    SWEEP_B, SWEEP_STEPS = 96, 21
     sweep = jax.jit(make_infer_sweep_indexed(model, 0.5))
+    sweep_step = jax.jit(make_infer_step_indexed(model, 0.5))
     sweep_sels = jax.device_put(
-        np.arange(2048, dtype=np.int32).reshape(8, 256) % N)
+        np.arange(SWEEP_STEPS * SWEEP_B, dtype=np.int32)
+        .reshape(SWEEP_STEPS, SWEEP_B) % N)
+    sweep_flops = compiled_flops(jax, sweep_step, st2["p"], data,
+                                 sweep_sels[0], wv, infer_rng)
     carry2 = {"x": jnp.zeros((), jnp.int32)}
 
     def sweep_once():
@@ -272,9 +280,9 @@ def main():
         return out["ious"]
 
     sweep_dt = time_loop(jax, sweep_once, n_warmup=2, n_iters=10)
-    sweep_pps = 2048 / sweep_dt
-    sweep_mfu = (infer_flops * 8 / sweep_dt) / peak \
-        if np.isfinite(infer_flops) else float("nan")
+    sweep_pps = SWEEP_STEPS * SWEEP_B / sweep_dt
+    sweep_mfu = (sweep_flops * SWEEP_STEPS / sweep_dt) / peak \
+        if np.isfinite(sweep_flops) else float("nan")
 
     # ---------------- honesty guards -----------------------------------
     for name, mfu in [("train_epoch", train_mfu), ("infer_b256", infer_mfu),
@@ -300,6 +308,7 @@ def main():
             "infer_scanned_sweep_pairs_per_sec": round(sweep_pps, 1),
             "infer_scanned_sweep_mfu": round(sweep_mfu, 4)
             if np.isfinite(sweep_mfu) else None,
+            "infer_sweep_batch_size": SWEEP_B,
             "rng_impls": {"train": train_rng_impl, "infer": infer_rng_impl},
             "null_roundtrip_ms": round(null_rt * 1e3, 2),
             "peak_flops_assumed": peak,

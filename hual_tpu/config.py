@@ -40,7 +40,11 @@ class TrainConfig:
     weight_decay: float = 0.01      # reference models/ops.py:121 (hardcoded)
     eval_batch_size: Optional[int] = None   # defaults to batch_size
     infer_batch_size: Optional[int] = None  # train-set MC-dropout sweep;
-    # defaults to max(256, batch): a pure throughput win at fixed shapes
+    # defaults to max(96, batch): B=96 measured fastest on the v5e sweep
+    # grid {32..1024} at 23.5k pairs/s vs 18.5k at the old 256 — this
+    # model's small ops get slower per element as they grow, and
+    # power-of-two batches (128/256) sit in a measurable dip
+    # (results/sweep_ablation*.json, PROFILING.md §3)
     seed: int = 12345               # reference main.py:21
     # Dropout rate of the two "MC-dropout" inference passes.  The reference
     # INTENDED 0.5 (eval_test_save builds feed_dict_dropout05,
@@ -53,11 +57,15 @@ class TrainConfig:
     mc_droprate: float = 0.0
     # Fold the clean + 2 stochastic MC passes into ONE 3B-row forward with a
     # per-sample dropout-rate vector (runtime/steps.py make_infer_step):
-    # same FLOPs, 3x larger GEMMs, fewer scan steps.  Clean outputs are
+    # same FLOPs, 3x larger ops, fewer scan steps.  Clean outputs are
     # unchanged (rate-0 rows are deterministic); only the stochastic noise
     # stream differs (distributional parity, docs/PARITY.md).  No effect at
     # mc_droprate 0.0 (single clean pass) or with the gumbel head enabled.
-    fold_mc: bool = True
+    # Default False: MEASURED 40% slower on the v5e at B=256 (per-element
+    # cost of this model's small ops grows with op size — VMEM locality,
+    # results/sweep_ablation.json, PROFILING.md §3) — the option exists
+    # because the tradeoff may flip on other hardware.
+    fold_mc: bool = False
     # JAX PRNG implementation per stream, from real-chip measurements
     # (results/step_breakdown.json, docs/PROFILING.md §3): "rbg" (TPU
     # hardware RNG) is 35% faster for the B=16 train step and 22% faster
@@ -173,7 +181,7 @@ class Config:
 
     @property
     def infer_batch_size(self) -> int:
-        return self.train.infer_batch_size or max(256, self.train.batch_size)
+        return self.train.infer_batch_size or max(96, self.train.batch_size)
 
     def model_dir(self) -> str:
         # Reference main.py:42 formats 'ckpt/{}_' with the task only (the

@@ -112,7 +112,7 @@ def make_eval_step(model) -> Callable:
 
 
 def make_infer_step(model, mc_droprate: float = 0.0,
-                    fold_mc: bool = True) -> Callable:
+                    fold_mc: bool = False) -> Callable:
     """Clean forward + two "MC-dropout" forwards in one compiled program
     (reference eval_test_save's 5 sess.runs, utils/runner_utils.py:75-81).
 
@@ -122,14 +122,15 @@ def make_infer_step(model, mc_droprate: float = 0.0,
     passes are identical to the clean pass — reuse it instead of recomputing.
     A nonzero rate gives true MC-dropout (two extra stochastic forwards).
 
-    ``fold_mc`` (default): the three logical passes run as ONE forward over
-    a 3B-row batch with a PER-SAMPLE dropout-rate vector [0,...,mc,...,mc]
-    — same FLOPs, 3x larger GEMMs, one third the scan steps' fixed costs
-    (the TPU sweep sat at 5.4% MFU on B=256 bodies, VERDICT r2 weak #1).
-    The clean rows see rate 0 == bitwise-deterministic (layers.dropout), so
-    prop_idx/m_score/clean logits are unchanged; the stochastic rows draw a
-    different (equally distributed) noise stream than the sequential path —
-    parity at mc>0 is distributional anyway (docs/PARITY.md).
+    ``fold_mc``: the three logical passes run as ONE forward over a 3B-row
+    batch with a PER-SAMPLE dropout-rate vector [0,...,mc,...,mc] — same
+    FLOPs, 3x larger ops, one third the ops.  The clean rows see rate 0 ==
+    bitwise-deterministic (layers.dropout), so prop_idx/m_score/clean
+    logits are unchanged; the stochastic rows draw a different (equally
+    distributed) noise stream than the sequential path — parity at mc>0 is
+    distributional anyway (docs/PARITY.md).  Default OFF: measured 40%
+    SLOWER on the v5e at B=256 (this model's per-element op cost grows
+    with op size; results/sweep_ablation.json, PROFILING.md §3).
 
     The reuse fast path additionally requires the model to have no OTHER
     eval-time stochasticity: with the gumbel matching head enabled
@@ -255,7 +256,7 @@ def make_eval_sweep_indexed(model) -> Callable:
 
 
 def make_infer_sweep_indexed(model, mc_droprate: float = 0.0,
-                             fold_mc: bool = True) -> Callable:
+                             fold_mc: bool = False) -> Callable:
     """Whole-train-set MC-dropout inference as one scanned program.
 
     Replaces the reference's 5-sess.run-per-batch host loop
@@ -280,7 +281,7 @@ def make_infer_sweep_indexed(model, mc_droprate: float = 0.0,
 
 
 def make_infer_step_indexed(model, mc_droprate: float = 0.0,
-                            fold_mc: bool = True) -> Callable:
+                            fold_mc: bool = False) -> Callable:
     base = make_infer_step(model, mc_droprate, fold_mc)
 
     def step(params, data, sel, word_vectors, rng):

@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--pairs", type=int, default=4096,
                     help="pairs per scanned dispatch")
     ap.add_argument("--mc", type=float, default=0.5)
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[256, 512, 1024])
+    ap.add_argument("--folds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--out-suffix", default="")
     args = ap.parse_args()
 
     import bench
@@ -47,8 +51,8 @@ def main() -> int:
     rng = jax.random.key(0, impl="rbg")
 
     rows = []
-    for fold in (False, True):
-        for B in (256, 512, 1024):
+    for fold in [bool(f) for f in args.folds]:
+        for B in args.batches:
             n_batches = max(args.pairs // B, 2)
             sels = jax.device_put(
                 (np.arange(n_batches * B, dtype=np.int32) % N)
@@ -86,11 +90,12 @@ def main() -> int:
               "protocol": "chained scanned dispatches; timing ends at a "
                           "device_get value fetch (PROFILING.md §1)",
               "grid": rows, "best": best}
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
+    out_path = OUT.replace(".json", args.out_suffix + ".json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print("best:", json.dumps(best))
-    print(f"wrote {OUT}")
+    print(f"wrote {out_path}")
     return 0
 
 
