@@ -66,6 +66,12 @@ class TrainConfig:
     # results/sweep_ablation.json, PROFILING.md §3) — the option exists
     # because the tradeoff may flip on other hardware.
     fold_mc: bool = False
+    # Compute dtype of the two STOCHASTIC MC passes only ("float32" or
+    # "bfloat16").  The clean pass — whose logits drive every deterministic
+    # AL decision — always runs at model.compute_dtype; the stochastic
+    # passes' parity is distributional under any RNG (docs/PARITY.md), so
+    # bf16 activations there trade nothing that is promised.
+    mc_dtype: str = "float32"
     # JAX PRNG implementation per stream, from real-chip measurements
     # (results/step_breakdown.json, docs/PROFILING.md §3): "rbg" (TPU
     # hardware RNG) is 35% faster for the B=16 train step and 22% faster
@@ -106,6 +112,10 @@ class ModelConfig:
     # bit-identical outputs (tests/test_pallas.py), measured comparison in
     # docs/PROFILING.md §5
     span_decode: str = "xla"
+    # activation compute dtype for the model: "float32" (default, full
+    # numeric parity) or "bfloat16" (matmuls accumulate f32; LN stats,
+    # softmaxes, logits and losses stay f32 — models/layers.py)
+    compute_dtype: str = "float32"
     # storage dtype of the device-resident video feature table: "float32"
     # (parity default) or "bfloat16" (halves HBM: ActivityNet at 33.7k
     # records / T=100 / vdim=1024 is ~13.8 GB f32 vs ~6.9 GB bf16 on a

@@ -33,7 +33,8 @@ def dropout(module: nn.Module, x: jnp.ndarray, rate, deterministic: bool) -> jnp
     if r.ndim == 1:  # per-sample rates, broadcast over trailing axes
         r = r.reshape(r.shape[0], *([1] * (x.ndim - 1)))
     keep = jax.random.bernoulli(rng, 1.0 - r, x.shape)
-    return jnp.where(keep, x / (1.0 - r), jnp.zeros_like(x))
+    inv = (1.0 / (1.0 - r)).astype(x.dtype)  # keep bf16 activations bf16
+    return jnp.where(keep, x * inv, jnp.zeros_like(x))
 
 
 class LayerNorm(nn.Module):
@@ -44,10 +45,11 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         scale = self.param("scale", ones, (dim,))
         bias = self.param("bias", zeros, (dim,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        variance = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        norm = (x - mean) * jax.lax.rsqrt(variance + 1e-6)
-        return norm * scale + bias
+        xf = x.astype(jnp.float32)  # stats in f32 under bf16 compute
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        variance = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        norm = (xf - mean) * jax.lax.rsqrt(variance + 1e-6)
+        return (norm * scale + bias).astype(x.dtype)
 
 
 class Conv1D(nn.Module):
@@ -61,10 +63,10 @@ class Conv1D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kernel = self.param("kernel", glorot_uniform_tf, (1, x.shape[-1], self.dim))
-        out = jnp.einsum("...d,df->...f", x, kernel[0],
-                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("...d,df->...f", x, kernel[0].astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
-            out = out + self.param("bias", zeros, (1, 1, self.dim))
+            out = out + self.param("bias", zeros, (1, 1, self.dim)).astype(x.dtype)
         return out if self.activation is None else self.activation(out)
 
 
@@ -87,15 +89,15 @@ class DepthwiseSeparableConv(nn.Module):
                                (1, 1, d_in, self.dim))
         # depthwise conv over time, SAME padding
         dw = jax.lax.conv_general_dilated(
-            x, depthwise[:, 0, :, :].transpose(0, 2, 1),   # (k, I=1, O=d_in)
+            x, depthwise[:, 0, :, :].transpose(0, 2, 1).astype(x.dtype),
             window_strides=(1,), padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=d_in,
         )
-        out = jnp.einsum("btd,df->btf", dw, pointwise[0, 0],
-                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("btd,df->btf", dw, pointwise[0, 0].astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
-            out = out + self.param("bias", zeros, (self.dim,))
+            out = out + self.param("bias", zeros, (self.dim,)).astype(x.dtype)
         return self.activation(out)
 
 
@@ -111,7 +113,7 @@ class Bilinear(nn.Module):
         out = (Conv1D(self.dim, use_bias=False, name="dense_1")(x1)
                + Conv1D(self.dim, use_bias=False, name="dense_2")(x2))
         if self.use_bias:
-            out = out + self.param("bias", zeros, (self.dim,))
+            out = out + self.param("bias", zeros, (self.dim,)).astype(out.dtype)
         return out
 
 
@@ -154,10 +156,12 @@ class DualMultiheadAttention(nn.Module):
         def attend(key, value, bias):
             scores = jnp.einsum("bhqd,bhkd->bhqk", query, key,
                                 preferred_element_type=jnp.float32) * scale
-            probs = jax.nn.softmax(scores + bias, axis=-1)
+            probs = jax.nn.softmax(scores + bias, axis=-1)  # f32
             probs = dropout(self, probs, drop_rate, deterministic)
-            return jnp.einsum("bhqk,bhkd->bhqd", probs, value,
-                              preferred_element_type=jnp.float32)
+            return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(value.dtype),
+                              value,
+                              preferred_element_type=jnp.float32
+                              ).astype(value.dtype)
 
         s_out = _merge_heads(attend(f_key, f_value, attention_bias(from_mask, from_mask)))
         x_out = _merge_heads(attend(t_key, t_value, attention_bias(from_mask, to_mask)))
@@ -185,13 +189,14 @@ class TrilinearAttention(nn.Module):
         wm = self.param("linear_kernel4mul", glorot_uniform_tf, (1, 1, d))
         d1 = dropout(self, x1, drop_rate, deterministic)
         d2 = dropout(self, x2, drop_rate, deterministic)
-        sub0 = jnp.einsum("bld,do->blo", d1, w0,
+        dt = x1.dtype
+        sub0 = jnp.einsum("bld,do->blo", d1, w0.astype(dt),
                           preferred_element_type=jnp.float32)       # (B,L1,1)
-        sub1 = jnp.einsum("bld,do->blo", d2, w1,
+        sub1 = jnp.einsum("bld,do->blo", d2, w1.astype(dt),
                           preferred_element_type=jnp.float32)       # (B,L2,1)
-        sub2 = jnp.einsum("bld,bmd->blm", d1 * wm, d2,
+        sub2 = jnp.einsum("bld,bmd->blm", d1 * wm.astype(dt), d2,
                           preferred_element_type=jnp.float32)       # (B,L1,L2)
-        return sub0 + sub1.transpose(0, 2, 1) + sub2
+        return sub0 + sub1.transpose(0, 2, 1) + sub2   # f32 similarity
 
 
 class CQAttention(nn.Module):
@@ -207,10 +212,12 @@ class CQAttention(nn.Module):
         score_ = jax.nn.softmax(mask_logits(score, mask2[:, None, :]), axis=-1)
         score_t = jax.nn.softmax(mask_logits(score, mask1[:, :, None]), axis=1)
         score_t = score_t.transpose(0, 2, 1)
-        c2q = jnp.einsum("blm,bmd->bld", score_, inputs2,
-                         preferred_element_type=jnp.float32)
-        q2c = jnp.einsum("blm,bmn,bnd->bld", score_, score_t, inputs1,
-                         preferred_element_type=jnp.float32)
+        dt = inputs1.dtype
+        c2q = jnp.einsum("blm,bmd->bld", score_.astype(dt), inputs2,
+                         preferred_element_type=jnp.float32).astype(dt)
+        q2c = jnp.einsum("blm,bmn,bnd->bld", score_.astype(dt),
+                         score_t.astype(dt), inputs1,
+                         preferred_element_type=jnp.float32).astype(dt)
         att = jnp.concatenate([inputs1, c2q, inputs1 * c2q, inputs1 * q2c], axis=-1)
         out = Conv1D(self.dim, use_bias=False, name="dense")(att)
         return out, score
@@ -223,11 +230,12 @@ class WeightedPooling(nn.Module):
     def __call__(self, inputs, mask):
         d = inputs.shape[-1]
         weight = self.param("weight", glorot_uniform_tf, (d, 1))
-        x = jnp.einsum("bld,do->blo", inputs, weight,
+        x = jnp.einsum("bld,do->blo", inputs, weight.astype(inputs.dtype),
                        preferred_element_type=jnp.float32)          # (B,L,1)
         alphas = jax.nn.softmax(mask_logits(x, mask[:, :, None]), axis=1)
-        return jnp.einsum("bld,blo->bd", inputs, alphas,
-                          preferred_element_type=jnp.float32)
+        return jnp.einsum("bld,blo->bd", inputs, alphas.astype(inputs.dtype),
+                          preferred_element_type=jnp.float32
+                          ).astype(inputs.dtype)
 
 
 class CQConcat(nn.Module):
@@ -253,7 +261,8 @@ class MatchingHead(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, labels, mask, deterministic: bool):
-        logits = Conv1D(self.label_size, use_bias=True, name="dense")(inputs)
+        logits = Conv1D(self.label_size, use_bias=True,
+                        name="dense")(inputs).astype(jnp.float32)
         onehot = jax.nn.one_hot(labels, self.label_size, axis=-1, dtype=logits.dtype)
         if self.gumbel:
             # the reference applies gumbel noise + 1/tau sharpening in EVERY

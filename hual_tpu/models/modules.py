@@ -58,9 +58,10 @@ class CharEmbedding(nn.Module):
             b = self.param(f"bias_{i}", zeros, (ch,))
             # VALID conv over the char axis only
             conv = jax.lax.conv_general_dilated(
-                emb, w, window_strides=(1, 1), padding="VALID",
+                emb, w.astype(emb.dtype), window_strides=(1, 1),
+                padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            conv = jax.nn.relu(conv + b)
+            conv = jax.nn.relu(conv + b.astype(emb.dtype))
             outs.append(jnp.max(conv, axis=2))            # (B, W, ch)
         return jnp.concatenate(outs, axis=-1)             # (B, W, sum(filters))
 
@@ -78,7 +79,7 @@ class PositionalEmbedding(nn.Module):
         assert seq_len <= self.max_pos_len, (seq_len, self.max_pos_len)
         table = self.param("position_embeddings", glorot_uniform_tf,
                            (self.max_pos_len, self.dim))
-        return x + table[None, :seq_len, :]
+        return x + table[None, :seq_len, :].astype(x.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -145,8 +146,8 @@ class TopSelfAttention(nn.Module):
                             preferred_element_type=jnp.float32) / math.sqrt(float(hd))
         probs = jax.nn.softmax(scores + attention_bias(mask, mask), axis=-1)
         probs = dropout(self, probs, drop_rate, deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
         return out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 

@@ -40,6 +40,12 @@ class SeqPAN(nn.Module):
     num_chars: int = 100
     tau: float = 0.3
     use_gumbel: bool = False
+    # Activation compute dtype: "float32" (default; full numeric parity) or
+    # "bfloat16" (halves on-chip activation traffic; matmuls accumulate f32,
+    # LN stats/softmaxes/losses/logits stay f32 — see layers.py).  Production
+    # use: the stochastic MC-dropout passes of the AL sweep, whose parity is
+    # distributional anyway (train.mc_dtype, docs/PARITY.md).
+    compute_dtype: str = "float32"
     # answer decode backend: "xla" (ops/decode.py) or "pallas" (fused kernel,
     # ops/pallas/span_decode.py — keeps the (B,T,T) outer product in VMEM).
     # Bit-parity of the two is pinned by tests/test_pallas.py; the measured
@@ -53,7 +59,8 @@ class SeqPAN(nn.Module):
                    max_vlen=m.max_vlen, word_dim=m.word_dim, char_dim=m.char_dim,
                    num_chars=m.num_chars, tau=config.loss.tau,
                    use_gumbel=not config.loss.no_gumbel,
-                   span_decode=m.span_decode)
+                   span_decode=m.span_decode,
+                   compute_dtype=m.compute_dtype)
 
     def setup(self):
         self.word_embs = WordEmbedding(self.word_dim)
@@ -85,15 +92,18 @@ class SeqPAN(nn.Module):
         v_mask = sequence_mask(batch["video_seq_len"], self.max_vlen)
         q_mask = (batch["word_ids"] != 0).astype(jnp.int32)
 
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
         # text encoder
         word_emb = self.word_embs(batch["word_ids"], word_vectors, drop_rate,
                                   deterministic)
         char_emb = self.char_embs(batch["char_ids"], drop_rate, deterministic)
-        qfeats = jnp.concatenate([word_emb, char_emb], axis=-1)
+        qfeats = jnp.concatenate([word_emb, char_emb], axis=-1).astype(dt)
         qfeats = self.q_layer_norm(self.query_conv1d(qfeats))
 
         # video encoder
-        vfeats = dropout(self, batch["video_features"], drop_rate, deterministic)
+        vfeats = dropout(self, batch["video_features"].astype(dt), drop_rate,
+                         deterministic)
         vfeats = self.v_layer_norm(self.video_conv1d(vfeats))
 
         # shared positional embedding + conv block
@@ -123,12 +133,17 @@ class SeqPAN(nn.Module):
 
         soft_label_embs = jnp.einsum(
             "btl,ld->btd", match_scores, self.label_emb,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(fuse_feats.dtype)
         outputs = (fuse_feats + soft_label_embs) * v_mask[:, :, None].astype(
             fuse_feats.dtype)
 
         start_logits, end_logits = self.predictor(outputs, v_mask, drop_rate,
                                                   drop_rate, deterministic)
+        # logits, fusion outputs and everything loss-facing leave in f32
+        start_logits = start_logits.astype(jnp.float32)
+        end_logits = end_logits.astype(jnp.float32)
+        q2v_feats = q2v_feats.astype(jnp.float32)
+        v2q_feats = v2q_feats.astype(jnp.float32)
         if self.span_decode == "pallas":
             from hual_tpu.ops.pallas.span_decode import span_decode_pallas
 

@@ -112,7 +112,7 @@ def make_eval_step(model) -> Callable:
 
 
 def make_infer_step(model, mc_droprate: float = 0.0,
-                    fold_mc: bool = False) -> Callable:
+                    fold_mc: bool = False, mc_model=None) -> Callable:
     """Clean forward + two "MC-dropout" forwards in one compiled program
     (reference eval_test_save's 5 sess.runs, utils/runner_utils.py:75-81).
 
@@ -138,11 +138,20 @@ def make_infer_step(model, mc_droprate: float = 0.0,
     sess.run, so even at drop_rate 0 the two passes differ — in that case
     the two extra forwards run sequentially with the gumbel RNG live (the
     folded path would add gumbel noise to the clean rows too).
+
+    ``mc_model`` (optional): a variant model (same param tree) applied for
+    the STOCHASTIC passes only — production use is a bfloat16-compute clone
+    (train.mc_dtype) since those passes' parity is distributional anyway;
+    the clean pass, whose logits drive the AL math, stays on ``model``.
+    Incompatible with fold_mc (the folded forward is one model): sequential
+    passes are used when both are set.
     """
     stochastic_eval = bool(getattr(model, "use_gumbel", False))
+    stoch_model = mc_model if mc_model is not None else model
 
     def infer_step(params, batch, word_vectors, rng):
-        if mc_droprate != 0.0 and fold_mc and not stochastic_eval:
+        if (mc_droprate != 0.0 and fold_mc and not stochastic_eval
+                and mc_model is None):
             b = batch["video_features"].shape[0]
             batch3 = {k: jnp.concatenate([v, v, v], axis=0)
                       for k, v in batch.items()}
@@ -163,10 +172,12 @@ def make_infer_step(model, mc_droprate: float = 0.0,
                 mc1 = mc2 = clean
             else:
                 r1, r2 = jax.random.split(rng)
-                mc1 = model.apply(params, batch, word_vectors, mc_droprate,
-                                  deterministic=False, rngs={"dropout": r1})
-                mc2 = model.apply(params, batch, word_vectors, mc_droprate,
-                                  deterministic=False, rngs={"dropout": r2})
+                mc1 = stoch_model.apply(params, batch, word_vectors,
+                                        mc_droprate, deterministic=False,
+                                        rngs={"dropout": r1})
+                mc2 = stoch_model.apply(params, batch, word_vectors,
+                                        mc_droprate, deterministic=False,
+                                        rngs={"dropout": r2})
         ious = device_ious(clean["start_index"], clean["end_index"],
                            batch["s_ind"], batch["e_ind"],
                            batch["video_seq_len"], batch["duration"])
@@ -256,7 +267,7 @@ def make_eval_sweep_indexed(model) -> Callable:
 
 
 def make_infer_sweep_indexed(model, mc_droprate: float = 0.0,
-                             fold_mc: bool = False) -> Callable:
+                             fold_mc: bool = False, mc_model=None) -> Callable:
     """Whole-train-set MC-dropout inference as one scanned program.
 
     Replaces the reference's 5-sess.run-per-batch host loop
@@ -264,7 +275,7 @@ def make_infer_sweep_indexed(model, mc_droprate: float = 0.0,
     (n_batches, B) -> dict of (n_batches, B, ...) stacked outputs.
     Per-batch RNG = fold_in(rng, batch_index), matching the per-step path.
     """
-    step = make_infer_step_indexed(model, mc_droprate, fold_mc)
+    step = make_infer_step_indexed(model, mc_droprate, fold_mc, mc_model)
 
     def sweep(params, data, sels, word_vectors, rng):
         idxs = jnp.arange(sels.shape[0], dtype=jnp.int32)
@@ -281,8 +292,8 @@ def make_infer_sweep_indexed(model, mc_droprate: float = 0.0,
 
 
 def make_infer_step_indexed(model, mc_droprate: float = 0.0,
-                            fold_mc: bool = False) -> Callable:
-    base = make_infer_step(model, mc_droprate, fold_mc)
+                            fold_mc: bool = False, mc_model=None) -> Callable:
+    base = make_infer_step(model, mc_droprate, fold_mc, mc_model)
 
     def step(params, data, sel, word_vectors, rng):
         return base(params, gather_batch(data, sel, with_labels=False),

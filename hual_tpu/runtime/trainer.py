@@ -97,6 +97,7 @@ class Trainer:
 
         self._repl = replicated(self.mesh)
         self._batch_sh = batch_sharding(self.mesh)
+        self._mc_dtype = config.train.mc_dtype
         self._scan_sh = scan_batch_sharding(self.mesh)
         self.word_vectors = self._put_word_vectors(dataset["word_vector"])
 
@@ -134,7 +135,7 @@ class Trainer:
             self._eval_step_host = jax.jit(make_eval_step(self.model))
             self._infer_step_host = jax.jit(make_infer_step(
                 self.model, config.train.mc_droprate,
-                config.train.fold_mc))
+                config.train.fold_mc, self._mc_model()))
         else:
             if device_features is not None:
                 # reuse a previous round's device-resident table (features
@@ -164,7 +165,8 @@ class Trainer:
             donate_argnums=(0, 1))
         self._eval_sweep = jax.jit(make_eval_sweep_indexed(self.model))
         self._infer_sweep = jax.jit(make_infer_sweep_indexed(
-            self.model, config.train.mc_droprate, config.train.fold_mc))
+            self.model, config.train.mc_droprate, config.train.fold_mc,
+            self._mc_model()))
         # eval/infer index matrices are a pure function of the (fixed) split
         # and batch size; build + upload once, not once per epoch
         self._sweep_cache: dict[str, tuple[Any, list, jax.Array]] = {}
@@ -200,6 +202,14 @@ class Trainer:
             import ml_dtypes
             return ml_dtypes.bfloat16
         raise ValueError(f"unsupported feature_dtype '{name}'")
+
+    def _mc_model(self):
+        """Model variant for the STOCHASTIC MC passes (train.mc_dtype): a
+        compute-dtype clone sharing the same param tree, or None to reuse
+        the main model.  The clean pass always runs the main model."""
+        if self._mc_dtype == self.config.model.compute_dtype:
+            return None
+        return self.model.clone(compute_dtype=self._mc_dtype)
 
     def _put_feature_table(self, packed: np.ndarray) -> jax.Array:
         """Upload the (num_videos, T, D) table: cast to the configured

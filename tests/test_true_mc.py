@@ -161,3 +161,60 @@ def test_folded_mc_step_semantics():
                                np.asarray(out["start_logits"]))
         assert not np.allclose(np.asarray(out["start_logits1"]),
                                np.asarray(out["start_logits2"]))
+
+
+def test_mc_dtype_bf16_stochastic_passes():
+    """train.mc_dtype=bfloat16: the infer step applies a bf16-compute clone
+    for the STOCHASTIC passes only — clean outputs are bit-identical to the
+    all-f32 step, stochastic logits are finite f32 and genuinely stochastic;
+    a bf16 clean forward stays within bf16 accumulation error of f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from hual_tpu.models.seqpan import SeqPAN
+    from hual_tpu.runtime.steps import make_infer_step
+
+    B, T, W, C, V = 8, 16, 6, 5, 16
+    model = SeqPAN(dim=16, num_heads=2, attn_layer=1, max_vlen=T,
+                   word_dim=20, char_dim=8, num_chars=30)
+    rng_np = np.random.default_rng(6)
+    batch = {
+        "video_features": jnp.asarray(
+            rng_np.normal(size=(B, T, V)).astype(np.float32)),
+        "video_seq_len": jnp.asarray(
+            np.r_[np.full(B - 2, T), [9, 12]].astype(np.int32)),
+        "word_ids": jnp.asarray(rng_np.integers(1, 15, (B, W)).astype(np.int32)),
+        "char_ids": jnp.asarray(rng_np.integers(0, 30, (B, W, C)).astype(np.int32)),
+        "s_ind": jnp.asarray(rng_np.integers(0, T // 2, B).astype(np.int32)),
+        "e_ind": jnp.asarray(rng_np.integers(T // 2, T, B).astype(np.int32)),
+        "duration": jnp.asarray(rng_np.uniform(10, 30, B).astype(np.float32)),
+    }
+    wv = jnp.asarray(rng_np.normal(size=(13, 20)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, batch, wv, 0.0,
+                        deterministic=True)
+    rng = jax.random.key(7)
+
+    mc_model = model.clone(compute_dtype="bfloat16")
+    mixed = jax.jit(make_infer_step(model, 0.5, mc_model=mc_model))(
+        params, batch, wv, rng)
+    f32 = jax.jit(make_infer_step(model, 0.5))(params, batch, wv, rng)
+
+    # clean pass identical (same model, same program shape)
+    for k in ("start_logits", "end_logits", "match_scores"):
+        np.testing.assert_array_equal(np.asarray(mixed[k]), np.asarray(f32[k]))
+    np.testing.assert_array_equal(np.asarray(mixed["start_index"]),
+                                  np.asarray(f32["start_index"]))
+    # stochastic passes: f32 outputs, finite, stochastic
+    for k in ("start_logits1", "start_logits2"):
+        v = np.asarray(mixed[k])
+        assert v.dtype == np.float32 and np.isfinite(v).all()
+    assert not np.allclose(np.asarray(mixed["start_logits1"]),
+                           np.asarray(mixed["start_logits2"]))
+
+    # bf16 CLEAN forward (compute_dtype only) stays near f32
+    o16 = mc_model.apply(params, batch, wv, 0.0, deterministic=True)
+    o32 = model.apply(params, batch, wv, 0.0, deterministic=True)
+    for k in ("start_logits", "end_logits"):
+        a = np.asarray(o32[k])
+        np.testing.assert_allclose(np.asarray(o16[k]), a, atol=0.05
+                                   + 0.03 * float(np.abs(a).max()))
