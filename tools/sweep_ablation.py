@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[256, 512, 1024])
     ap.add_argument("--folds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--mc-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype of the stochastic passes "
+                         "(train.mc_dtype)")
     ap.add_argument("--out-suffix", default="")
     args = ap.parse_args()
 
@@ -50,6 +54,8 @@ def main() -> int:
     N = data["feat_rows"].shape[0]
     rng = jax.random.key(0, impl="rbg")
 
+    mc_model = (model.clone(compute_dtype="bfloat16")
+                if args.mc_dtype == "bfloat16" else None)
     rows = []
     for fold in [bool(f) for f in args.folds]:
         for B in args.batches:
@@ -57,8 +63,10 @@ def main() -> int:
             sels = jax.device_put(
                 (np.arange(n_batches * B, dtype=np.int32) % N)
                 .reshape(n_batches, B))
-            sweep = jax.jit(make_infer_sweep_indexed(model, args.mc, fold))
-            step = jax.jit(make_infer_step_indexed(model, args.mc, fold))
+            sweep = jax.jit(make_infer_sweep_indexed(model, args.mc, fold,
+                                                     mc_model))
+            step = jax.jit(make_infer_step_indexed(model, args.mc, fold,
+                                                   mc_model))
             step_flops = bench.compiled_flops(jax, step, params, data,
                                               sels[0], wv, rng)
             carry = {"x": jnp.zeros((), jnp.int32)}
@@ -74,7 +82,8 @@ def main() -> int:
             mfu = (step_flops * n_batches / dt) / peak \
                 if np.isfinite(step_flops) else float("nan")
             bench.check_mfu(f"sweep fold={fold} B={B}", mfu)
-            row = {"fold_mc": fold, "batch_size": B,
+            row = {"fold_mc": fold, "mc_dtype": args.mc_dtype,
+                   "batch_size": B,
                    "n_batches": n_batches,
                    "pairs_per_sec": round(pps, 1), "mfu": round(mfu, 4),
                    "dispatch_ms": round(dt * 1e3, 2),
