@@ -1,0 +1,80 @@
+"""Parity of the fused Pallas forward vs the flax SeqPAN model.
+
+The kernel (ops/pallas/fused_forward.py) re-expresses the entire
+post-projection forward as one VMEM-resident program with block-diagonal
+attention; these tests pin, at the REAL feature width (D=128, 8 heads,
+2 dual-attention layers) on the interpreter backend, that its logits /
+match scores / decoded indices match the flax model's deterministic pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+B, T, W, C, V = 8, 16, 6, 5, 32
+DIM, HEADS, LAYERS = 128, 8, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+
+    from hual_tpu.models.seqpan import SeqPAN
+
+    model = SeqPAN(dim=DIM, num_heads=HEADS, attn_layer=LAYERS, max_vlen=T,
+                   word_dim=24, char_dim=8, num_chars=30)
+    rng = np.random.default_rng(11)
+    batch = {
+        "video_features": jnp.asarray(
+            rng.normal(size=(B, T, V)).astype(np.float32)),
+        "video_seq_len": jnp.asarray(
+            np.r_[np.full(B - 3, T), [9, 12, 5]].astype(np.int32)),
+        "word_ids": jnp.asarray(np.where(
+            np.arange(W)[None, :] < rng.integers(2, W + 1, (B, 1)),
+            rng.integers(1, 15, (B, W)), 0).astype(np.int32)),
+        "char_ids": jnp.asarray(rng.integers(0, 30, (B, W, C)).astype(np.int32)),
+    }
+    wv = jnp.asarray(rng.normal(size=(13, 24)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, batch, wv, 0.0,
+                        deterministic=True)
+    ref = model.apply(params, batch, wv, 0.0, deterministic=True)
+    return model, params, batch, wv, ref
+
+
+def test_fused_forward_matches_flax(setup):
+    from hual_tpu.ops.pallas.fused_forward import seqpan_forward_fused
+
+    model, params, batch, wv, ref = setup
+    out = seqpan_forward_fused(model, params, batch, wv, block_b=4,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out["start_logits"]),
+                               np.asarray(ref["start_logits"]),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["end_logits"]),
+                               np.asarray(ref["end_logits"]),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["match_scores"]),
+                               np.asarray(ref["match_scores"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["start_index"]),
+                                  np.asarray(ref["start_index"]))
+    np.testing.assert_array_equal(np.asarray(out["end_index"]),
+                                  np.asarray(ref["end_index"]))
+
+
+def test_fused_forward_ragged_batch(setup):
+    """B not divisible by block_b: padding samples must not leak."""
+    import jax.numpy as jnp
+
+    from hual_tpu.ops.pallas.fused_forward import seqpan_forward_fused
+
+    model, params, batch, wv, ref = setup
+    sub = {k: v[:5] for k, v in batch.items()}
+    out = seqpan_forward_fused(model, params, sub, wv, block_b=4,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out["start_logits"]),
+                               np.asarray(ref["start_logits"])[:5],
+                               rtol=1e-4, atol=2e-4)
+    assert out["match_scores"].shape == (5, T, 4)
