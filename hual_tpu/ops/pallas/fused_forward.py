@@ -375,15 +375,14 @@ def _kernel(vf_ref, qf_ref, vm_ref, qm_ref, mat_ref, vec_ref, w4_ref, w2_ref,
     ms_ref[...] = ms
 
 
-@functools.partial(jax.jit, static_argnames=("attn_layer", "num_heads",
-                                             "tau", "use_gumbel", "block_b",
-                                             "interpret"))
-def fused_forward(params: dict, vfeats: jnp.ndarray, qfeats: jnp.ndarray,
-                  v_mask: jnp.ndarray, q_mask: jnp.ndarray, *,
-                  attn_layer: int = 2, num_heads: int = 8, tau: float = 0.3,
-                  use_gumbel: bool = False, block_b: int = 8,
-                  interpret: bool = False):
-    """Post-projection SeqPAN forward via the fused kernel.
+def fused_call(stacks: dict, layout: dict, vfeats: jnp.ndarray,
+               qfeats: jnp.ndarray, v_mask: jnp.ndarray,
+               q_mask: jnp.ndarray, *, attn_layer: int = 2,
+               num_heads: int = 8, tau: float = 0.3,
+               use_gumbel: bool = False, block_b: int = 8,
+               interpret: bool = False):
+    """The pallas_call on pre-packed weight stacks (pack once per sweep,
+    not once per scanned step).
 
     vfeats (B,T,D) / qfeats (B,W,D): the projected+LN'd streams
     (models/model.py:42-49); masks int/float (B,T)/(B,W).
@@ -400,7 +399,6 @@ def fused_forward(params: dict, vfeats: jnp.ndarray, qfeats: jnp.ndarray,
         q_mask = jnp.pad(q_mask, ((0, pad), (0, 0)), constant_values=1)
     Bp = B + pad
 
-    stacks, layout = pack_weights(params, attn_layer, D)
     static = dict(bb=bb, T=T, W=W, D=D, H=num_heads, attn_layer=attn_layer,
                   tau=tau, use_gumbel=use_gumbel)
 
@@ -440,6 +438,22 @@ def fused_forward(params: dict, vfeats: jnp.ndarray, qfeats: jnp.ndarray,
       stacks["mat"], stacks["vec"], stacks["w4"], stacks["w2"],
       stacks["dw"], stacks["pos"])
     return s[:B], e[:B], ms[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("attn_layer", "num_heads",
+                                             "tau", "use_gumbel", "block_b",
+                                             "interpret"))
+def fused_forward(params: dict, vfeats: jnp.ndarray, qfeats: jnp.ndarray,
+                  v_mask: jnp.ndarray, q_mask: jnp.ndarray, *,
+                  attn_layer: int = 2, num_heads: int = 8, tau: float = 0.3,
+                  use_gumbel: bool = False, block_b: int = 8,
+                  interpret: bool = False):
+    """pack_weights + fused_call in one step (single-dispatch use)."""
+    stacks, layout = pack_weights(params, attn_layer, vfeats.shape[-1])
+    return fused_call(stacks, layout, vfeats, qfeats, v_mask, q_mask,
+                      attn_layer=attn_layer, num_heads=num_heads, tau=tau,
+                      use_gumbel=use_gumbel, block_b=block_b,
+                      interpret=interpret)
 
 
 def encoder_inputs(model, params: dict, batch: dict,

@@ -300,3 +300,94 @@ def make_infer_step_indexed(model, mc_droprate: float = 0.0,
                     word_vectors, rng)
 
     return step
+
+
+# ----------------------------------------------------------------------
+# fused-Pallas sweeps: the whole deterministic forward as ONE kernel
+# (ops/pallas/fused_forward.py) — targets the op-locality bound of the
+# small-shape model (PROFILING.md §3).
+
+
+def make_fused_eval_sweep_indexed(model, block_b: int = 8) -> Callable:
+    """Eval sweep with the fused forward: sels (n_batches, B) -> ious."""
+    from hual_tpu.ops.pallas.fused_forward import (encoder_inputs, fused_call,
+                                                   pack_weights)
+    from hual_tpu.ops.pallas.span_decode import span_decode_pallas
+
+    def sweep(params, data, sels, word_vectors):
+        stacks, layout = pack_weights(params, model.attn_layer, model.dim)
+        interp = jax.default_backend() != "tpu"
+
+        def body(_, sel):
+            batch = gather_batch(data, sel, with_labels=False)
+            vf, qf, vm, qm = encoder_inputs(model, params, batch,
+                                            word_vectors)
+            s, e, _ = fused_call(stacks, layout, vf, qf, vm, qm,
+                                 attn_layer=model.attn_layer,
+                                 num_heads=model.num_heads, tau=model.tau,
+                                 use_gumbel=model.use_gumbel,
+                                 block_b=block_b, interpret=interp)
+            sidx, eidx = span_decode_pallas(s, e, vm, interpret=interp)
+            return None, device_ious(sidx, eidx, batch["s_ind"],
+                                     batch["e_ind"], batch["video_seq_len"],
+                                     batch["duration"])
+
+        _, ious = jax.lax.scan(body, None, sels)
+        return ious
+
+    return sweep
+
+
+def make_fused_infer_sweep_indexed(model, mc_droprate: float = 0.0,
+                                   mc_model=None,
+                                   block_b: int = 8) -> Callable:
+    """AL MC-dropout sweep with the CLEAN pass on the fused kernel; the
+    stochastic passes (dropout needs the JAX RNG stream) stay on the flax
+    model (or a bf16 mc_model clone).  Same stacked-output schema as
+    make_infer_sweep_indexed."""
+    from hual_tpu.ops.pallas.fused_forward import (encoder_inputs, fused_call,
+                                                   pack_weights)
+    from hual_tpu.ops.pallas.span_decode import span_decode_pallas
+
+    stoch = mc_model if mc_model is not None else model
+
+    def sweep(params, data, sels, word_vectors, rng):
+        stacks, layout = pack_weights(params, model.attn_layer, model.dim)
+        interp = jax.default_backend() != "tpu"
+        idxs = jnp.arange(sels.shape[0], dtype=jnp.int32)
+
+        def body(_, inp):
+            sel, i = inp
+            batch = gather_batch(data, sel, with_labels=False)
+            vf, qf, vm, qm = encoder_inputs(model, params, batch,
+                                            word_vectors)
+            s, e, ms = fused_call(stacks, layout, vf, qf, vm, qm,
+                                  attn_layer=model.attn_layer,
+                                  num_heads=model.num_heads, tau=model.tau,
+                                  use_gumbel=model.use_gumbel,
+                                  block_b=block_b, interpret=interp)
+            sidx, eidx = span_decode_pallas(s, e, vm, interpret=interp)
+            if mc_droprate == 0.0:
+                mc1 = mc2 = {"start_logits": s, "end_logits": e}
+            else:
+                r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
+                mc1 = stoch.apply(params, batch, word_vectors, mc_droprate,
+                                  deterministic=False, rngs={"dropout": r1})
+                mc2 = stoch.apply(params, batch, word_vectors, mc_droprate,
+                                  deterministic=False, rngs={"dropout": r2})
+            return None, {
+                "match_scores": ms, "start_logits": s, "end_logits": e,
+                "start_index": sidx, "end_index": eidx,
+                "start_logits1": mc1["start_logits"],
+                "end_logits1": mc1["end_logits"],
+                "start_logits2": mc2["start_logits"],
+                "end_logits2": mc2["end_logits"],
+                "ious": device_ious(sidx, eidx, batch["s_ind"],
+                                    batch["e_ind"], batch["video_seq_len"],
+                                    batch["duration"]),
+            }
+
+        _, outs = jax.lax.scan(body, None, (sels, idxs))
+        return outs
+
+    return sweep

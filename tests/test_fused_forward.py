@@ -78,3 +78,60 @@ def test_fused_forward_ragged_batch(setup):
                                np.asarray(ref["start_logits"])[:5],
                                rtol=1e-4, atol=2e-4)
     assert out["match_scores"].shape == (5, T, 4)
+
+
+def test_fused_sweeps_match_flax_sweeps():
+    """Scanned fused eval/infer sweeps against the flax sweeps on a
+    device-resident dataset (interpret-mode kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hual_tpu.models.seqpan import SeqPAN
+    from hual_tpu.runtime.steps import (make_eval_sweep_indexed,
+                                        make_fused_eval_sweep_indexed,
+                                        make_fused_infer_sweep_indexed,
+                                        make_infer_sweep_indexed)
+
+    model = SeqPAN(dim=DIM, num_heads=HEADS, attn_layer=1, max_vlen=T,
+                   word_dim=24, char_dim=8, num_chars=30)
+    rng = np.random.default_rng(21)
+    n = 12
+    s = rng.integers(0, T // 2, n).astype(np.int32)
+    data = {
+        "features": jnp.asarray(rng.normal(size=(n, T, V)).astype(np.float32)),
+        "feat_rows": jnp.arange(n, dtype=jnp.int32),
+        "v_len": jnp.asarray(np.r_[np.full(n - 2, T), [9, 5]].astype(np.int32)),
+        "word_ids": jnp.asarray(rng.integers(1, 15, (n, W)).astype(np.int32)),
+        "char_ids": jnp.asarray(rng.integers(0, 30, (n, W, C)).astype(np.int32)),
+        "duration": jnp.asarray(rng.uniform(10, 30, n).astype(np.float32)),
+        "s_ind": jnp.asarray(s),
+        "e_ind": jnp.asarray(np.minimum(s + 3, T - 1).astype(np.int32)),
+    }
+    wv = jnp.asarray(rng.normal(size=(13, 24)).astype(np.float32))
+    from hual_tpu.runtime.steps import gather_batch
+    batch0 = gather_batch(data, jnp.arange(4, dtype=jnp.int32), False)
+    params = model.init({"params": jax.random.key(0)}, batch0, wv, 0.0,
+                        deterministic=True)
+    sels = jnp.arange(12, dtype=jnp.int32).reshape(3, 4)
+
+    ref_ious = np.asarray(jax.jit(make_eval_sweep_indexed(model))(
+        params, data, sels, wv))
+    fused_ious = np.asarray(jax.jit(make_fused_eval_sweep_indexed(
+        model, block_b=4))(params, data, sels, wv))
+    np.testing.assert_allclose(fused_ious, ref_ious, rtol=1e-5, atol=1e-6)
+
+    key = jax.random.key(3)
+    ref_out = jax.jit(make_infer_sweep_indexed(model, 0.5))(
+        params, data, sels, wv, key)
+    fused_out = jax.jit(make_fused_infer_sweep_indexed(model, 0.5,
+                                                       block_b=4))(
+        params, data, sels, wv, key)
+    for k in ("match_scores", "start_logits", "end_logits"):
+        np.testing.assert_allclose(np.asarray(fused_out[k]),
+                                   np.asarray(ref_out[k]),
+                                   rtol=1e-4, atol=2e-4, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(fused_out["start_index"]),
+                                  np.asarray(ref_out["start_index"]))
+    # stochastic passes still real
+    assert not np.allclose(np.asarray(fused_out["start_logits1"]),
+                           np.asarray(fused_out["start_logits2"]))
