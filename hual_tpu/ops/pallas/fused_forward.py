@@ -173,7 +173,9 @@ def pack_weights(params: dict, attn_layer: int, dim: int) -> tuple[dict, dict]:
 
 def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
                   tau, use_gumbel):
-    """vf (bb,T,D), qf (bb,W,D), masks (bb,T)/(bb,W) float32.
+    """vf (bb,T,D), qf (bb,W,D); masks as FLAT COLUMNS (bb*T,1)/(bb*W,1)
+    float32 (flattened outside the kernel — Mosaic rejects lane-merging
+    reshapes, and XLA does them for free).
     Returns start_logits (bb,T), end_logits (bb,T), match_scores (bb,T,4)."""
     hd = D // H
     f32 = jnp.float32
@@ -191,6 +193,47 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
     def dense(x2, name):
         return mm(x2, w(name)) + w(name + ".b")
 
+    def mmt(a2, b2):  # (N, K) @ (M, K)^T without a materialized transpose
+        # (Mosaic rejects relayout transposes; its matmul contracts any dim)
+        return jax.lax.dot_general(a2, b2, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # Mosaic rejects reshapes that merge/split the lane (minor) dimension —
+    # e.g. (bb, L) -> (bb*L,) or (bb*L, 1) -> (bb, L).  The helpers below
+    # express those data movements as one-hot matmuls + lane reductions
+    # (exact: 0/1 weights, adding 0.0 is exact in f32).
+
+    def samp_sel(R, L):  # (R, bb): S[r, b] = 1.0 iff b == r // L
+        r = jax.lax.broadcasted_iota(jnp.int32, (R, bb), 0) // L
+        b = jax.lax.broadcasted_iota(jnp.int32, (R, bb), 1)
+        return (r == b).astype(f32)
+
+    def pos_onehot(R, L):  # (R, L): C[r, t] = 1.0 iff t == r % L
+        r = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0) % L
+        t = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        return (r == t).astype(f32)
+
+    def flatcol(x2, L):  # (bb, L) -> (bb*L, 1)
+        R = bb * L
+        rows = mm(samp_sel(R, L), x2)             # (R, L), row r = x2[r//L]
+        return jnp.sum(rows * pos_onehot(R, L), axis=-1, keepdims=True)
+
+    def samp_gather(L):  # (bb, bb*L): G[b, r] = 1.0 iff b == r // L
+        b = jax.lax.broadcasted_iota(jnp.int32, (bb, bb * L), 0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (bb, bb * L), 1) // L
+        return (b == r).astype(f32)
+
+    def unflat(xcol, L):  # (bb*L, 1) -> (bb, L)
+        spread = xcol * pos_onehot(bb * L, L)     # (R, L)
+        return mm(samp_gather(L), spread)         # (bb, L)
+
+    def vec0(name):  # first element of a packed (D,) vector, as (1, 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+        return jnp.sum(jnp.expand_dims(w(name), 0) * (i == 0).astype(f32),
+                       axis=-1, keepdims=True)
+
+    vm_col, qm_col = vmask, qmask                 # (bbT, 1) / (bbW, 1)
+
     def conv_block(x3, prefix, L):
         # 4 x {LN -> depthwise(k=7, SAME) -> pointwise -> +bias -> relu
         #      -> (+residual)}  (reference models/modules.py:59-70)
@@ -206,8 +249,9 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
             x3 = jax.nn.relu(pw + w(f"{prefix}.pwb{i}")).reshape(bb, L, D) + res
         return x3
 
-    def block_bias(fm, tm, Tq, Tk, row_uniform=True):
-        # (bb*Tq, bb*Tk) additive bias restricted to same-sample blocks.
+    def block_bias(fm_col, tm_col, Tq, Tk, row_uniform=True):
+        # (bb*Tq, bb*Tk) additive bias restricted to same-sample blocks;
+        # fm_col/tm_col are (bb*Tq, 1)/(bb*Tk, 1) flat mask columns.
         # row_uniform=True (multi-head attentions): pairs with a valid `to`
         # position get 0, and an all-padding `from` row gets 0 on its whole
         # block — exactly the reference's (1 - from x to) * -1e30, whose
@@ -217,10 +261,11 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
         # valid columns.
         rows = jax.lax.broadcasted_iota(jnp.int32, (bb * Tq, bb * Tk), 0) // Tq
         cols = jax.lax.broadcasted_iota(jnp.int32, (bb * Tq, bb * Tk), 1) // Tk
-        fm_r = fm.reshape(bb * Tq) > 0
-        tm_c = tm.reshape(bb * Tk) > 0
         same = rows == cols
-        ok = same & tm_c[None, :]
+        # tm_col broadcast across rows via an outer product with a ones
+        # column (K=1 matmul — no transpose).
+        tm_mat = mmt(jnp.ones((bb * Tq, 1), f32), tm_col)
+        ok = same & (tm_mat > 0)
         if not row_uniform:
             return jnp.where(ok, 0.0, MASK).astype(f32)
         # All-padding `from` rows: the reference adds -1e30 to EVERY score;
@@ -229,15 +274,15 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
         # giving such rows -1e30 on their whole block and pushing off-block
         # pairs to -2e30 (still 0 after the softmax's max-shift).
         bias = jnp.where(ok, 0.0, MASK)
-        bias = jnp.where(same & ~fm_r[:, None], MASK, bias)
+        bias = jnp.where(same & (fm_col <= 0), MASK, bias)
         return jnp.where(same, bias, 2.0 * MASK).astype(f32)
 
     def heads_attn(q2, k2, v2, bias, Tq):
         outs = []
         scale = 1.0 / jnp.sqrt(f32(hd))
         for h in range(H):
-            s = mm(q2[:, h * hd:(h + 1) * hd],
-                   k2[:, h * hd:(h + 1) * hd].T) * scale + bias
+            s = mmt(q2[:, h * hd:(h + 1) * hd],
+                    k2[:, h * hd:(h + 1) * hd]) * scale + bias
             prob = jax.nn.softmax(s, axis=-1)
             outs.append(mm(prob, v2[:, h * hd:(h + 1) * hd]))
         return jnp.concatenate(outs, axis=-1)                 # (bb*Tq, D)
@@ -264,7 +309,7 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
         values = (mm(o2, w(pre + ".bilinear_2.d1"))
                   + mm(outputs, w(pre + ".bilinear_2.d2"))
                   + w(pre + ".bilinear_2.b"))
-        fmask = fm.reshape(bb * Tq, 1)
+        fmask = fm                                # (bb*Tq, 1) flat column
         gated = jax.nn.sigmoid(scores * fmask + MASK * (1.0 - fmask)) * values
         # post-attention dense + residuals (reference models/modules.py:73-89)
         res = mm(gated, w(pre + ".dense_1")) + w(pre + ".dense_1.b") \
@@ -275,23 +320,35 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
 
     def cq_attention(x13, x23, m1, m2, T1, T2, nm):
         x1, x2 = x13.reshape(bb * T1, D), x23.reshape(bb * T2, D)
-        sub0 = mm(x1, w(nm + ".w0").reshape(D, 1))             # (bbT1, 1)
-        sub1 = mm(x2, w(nm + ".w1").reshape(D, 1))             # (bbT2, 1)
-        sub2 = mm(x1 * w(nm + ".wm"), x2.T)                    # (bbT1, bbT2)
-        score = sub0 + sub1.T + sub2
+        sub0 = jnp.sum(x1 * w(nm + ".w0"), axis=-1, keepdims=True)  # (bbT1,1)
+        sub1 = jnp.sum(x2 * w(nm + ".w1"), axis=-1, keepdims=True)  # (bbT2,1)
+        sub2 = mmt(x1 * w(nm + ".wm"), x2)                     # (bbT1, bbT2)
+        # sub1 broadcast across rows = outer product with a ones column
+        score = sub0 + mmt(jnp.ones((bb * T1, 1), f32), sub1) + sub2
         b2 = block_bias(m1, m2, T1, T2, row_uniform=False)
         score_ = jax.nn.softmax(score + b2, axis=-1)
         # softmax over axis 0 restricted to each sample's row-block: the
-        # reference's softmax(mask_logits(score, mask1), axis=1)
-        b1 = block_bias(m2, m1, T2, T1, row_uniform=False).T   # (bbT1, bbT2)
+        # reference's softmax(mask_logits(score, mask1), axis=1).  The bias
+        # built with (m2, m1) swapped is symmetric under transposition of
+        # its (row-block, col-block) structure, so build it directly at
+        # (bbT1, bbT2): valid pairs are same-sample with a valid m1 ROW.
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (bb * T1, bb * T2), 0) // T1
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (bb * T1, bb * T2), 1) // T2
+        b1 = jnp.where((rows1 == cols1) & (m1 > 0), 0.0, MASK).astype(f32)
         score_t = jax.nn.softmax(score + b1, axis=0)
         c2q = mm(score_, x2)
-        q2c = mm(mm(score_, score_t.T), x1)
+        q2c = mm(mmt(score_, score_t), x1)
         att = jnp.concatenate([x1, c2q, x1 * c2q, x1 * q2c], axis=-1)
         return mm(att, w(nm + ".dense", kind="w4"))            # (bbT1, D)
 
+    def pos_slice(name, L):
+        # NOT `pos[None, :L, :]`: jnp lowers that mixed newaxis+slice index
+        # to a gather, which Mosaic's TPU lowering rejects at these shapes.
+        p = w(name, kind="pos")
+        return jnp.expand_dims(jax.lax.slice(p, (0, 0), (L, D)), 0)
+
     def feature_encoder(x3, vm, L):
-        feats = x3 + w("fe.pos", kind="pos")[None, :L, :]
+        feats = x3 + pos_slice("fe.pos", L)
         feats = conv_block(feats, "fe.conv_block", L)
         o2 = ln(feats, "fe.ln1").reshape(bb * L, D)
         bias = block_bias(vm, vm, L, L)
@@ -303,9 +360,8 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
         return out.reshape(bb, L, D)
 
     # --- encoder: shared pos emb + conv block (models/model.py:53-58) ------
-    pos = w("pos_emb", kind="pos")
-    vf = conv_block(vf + pos[None, :T, :], "conv_block", T)
-    qf = conv_block(qf + pos[None, :W, :], "conv_block", W)
+    vf = conv_block(vf + pos_slice("pos_emb", T), "conv_block", T)
+    qf = conv_block(qf + pos_slice("pos_emb", W), "conv_block", W)
 
     # --- dual attention stack (models/model.py:60-68) ----------------------
     for li in range(attn_layer):
@@ -316,11 +372,14 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
     # --- CQ fusion (models/model.py:70-74) ----------------------------------
     q2v = cq_attention(vf, qf, vmask, qmask, T, W, "q2v_attn")   # (bbT, D)
     v2q = cq_attention(qf, vf, qmask, vmask, W, T, "v2q_attn")   # (bbW, D)
-    # weighted pooling of v2q over W, per sample
-    xw = mm(v2q, w("cq_cat.wp").reshape(D, 1)).reshape(bb, W)
-    alphas = jax.nn.softmax(xw * qmask + MASK * (1.0 - qmask), axis=-1)
-    pooled = jnp.sum(v2q.reshape(bb, W, D) * alphas[:, :, None], axis=1)
-    tiled = jnp.repeat(pooled, T, axis=0)                        # (bbT, D)
+    # weighted pooling of v2q over W, per sample (lane-layout-safe: the
+    # (bbW,1)<->(bb,W) moves go through flatcol/unflat, the per-sample sum
+    # and the tile are one-hot matmuls)
+    qmask2 = unflat(qm_col, W)                                   # (bb, W)
+    xw = unflat(jnp.sum(v2q * w("cq_cat.wp"), axis=-1, keepdims=True), W)
+    alphas = jax.nn.softmax(xw * qmask2 + MASK * (1.0 - qmask2), axis=-1)
+    pooled = mm(samp_gather(W), v2q * flatcol(alphas, W))        # (bb, D)
+    tiled = mm(samp_sel(bb * T, T), pooled)                      # (bbT, D)
     fuse = mm(jnp.concatenate([q2v, tiled], axis=-1),
               w("cq_cat.dense", kind="w2")) + w("cq_cat.dense.b")
 
@@ -331,7 +390,7 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
     mscores = jax.nn.softmax(mlogits, axis=-1)                   # (bbT, 4)
     label_emb = jnp.stack([w(f"label_emb.{i}") for i in range(4)])
     soft = mm(mscores, label_emb)
-    outputs = (fuse + soft) * vmask.reshape(bb * T, 1)
+    outputs = (fuse + soft) * vm_col
 
     # --- conditioned predictor (models/modules.py:154-173) -----------------
     o3 = outputs.reshape(bb, T, D)
@@ -345,12 +404,11 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
     end_h = jax.nn.relu(
         mm(jnp.concatenate([end_f, outputs], axis=-1),
            w("end_hidden", kind="w2")) + w("end_hidden.b"))
-    s_logits = mm(start_h, w("start_dense.k").reshape(D, 1)) \
-        + w("start_dense.b")[0]
-    e_logits = mm(end_h, w("end_dense.k").reshape(D, 1)) \
-        + w("end_dense.b")[0]
-    return (s_logits.reshape(bb, T), e_logits.reshape(bb, T),
-            mscores.reshape(bb, T, 4))
+    s_col = jnp.sum(start_h * w("start_dense.k"), axis=-1, keepdims=True) \
+        + vec0("start_dense.b")
+    e_col = jnp.sum(end_h * w("end_dense.k"), axis=-1, keepdims=True) \
+        + vec0("end_dense.b")
+    return (unflat(s_col, T), unflat(e_col, T), mscores.reshape(bb, T, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -407,14 +465,18 @@ def fused_call(stacks: dict, layout: dict, vfeats: jnp.ndarray,
     whole3 = lambda i: (0, 0, 0)
     whole2 = lambda i: (0, 0)
     kern = functools.partial(_kernel, layout=layout, static=static)
+    # masks enter as FLAT (B*T, 1) columns: the (bb,T)->(bb*T,1) flatten is
+    # free in XLA but a forbidden lane-merging reshape inside Mosaic
+    vm_col = v_mask.astype(jnp.float32).reshape(Bp * T, 1)
+    qm_col = q_mask.astype(jnp.float32).reshape(Bp * W, 1)
     s, e, ms = pl.pallas_call(
         kern,
         grid=(Bp // bb,),
         in_specs=[
             pl.BlockSpec((bb, T, D), blk3, memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, W, D), blk3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, T), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, W), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb * T, 1), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb * W, 1), blk2, memory_space=pltpu.VMEM),
             pl.BlockSpec(stacks["mat"].shape, whole3, memory_space=pltpu.VMEM),
             pl.BlockSpec(stacks["vec"].shape, whole2, memory_space=pltpu.VMEM),
             pl.BlockSpec(stacks["w4"].shape, whole3, memory_space=pltpu.VMEM),
@@ -432,9 +494,13 @@ def fused_call(stacks: dict, layout: dict, vfeats: jnp.ndarray,
             jax.ShapeDtypeStruct((Bp, T), jnp.float32),
             jax.ShapeDtypeStruct((Bp, T, 4), jnp.float32),
         ],
+        # the block-diagonal attention matrices put the kernel just past the
+        # conservative 16 MB default scoped-VMEM limit at block_b=8; v5e has
+        # 128 MB of VMEM, so raise the cap (also unlocks block_b=16/32)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(vfeats.astype(jnp.float32), qfeats.astype(jnp.float32),
-      v_mask.astype(jnp.float32), q_mask.astype(jnp.float32),
+      vm_col, qm_col,
       stacks["mat"], stacks["vec"], stacks["w4"], stacks["w2"],
       stacks["dw"], stacks["pos"])
     return s[:B], e[:B], ms[:B]

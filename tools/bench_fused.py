@@ -30,7 +30,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--steps", type=int, default=21)
-    ap.add_argument("--blocks", type=int, nargs="+", default=[8, 16, 32])
+    # bb=32's block-diagonal attention matrices exceed even the raised
+    # 100 MB VMEM cap; 8 and 16 fit (fused_forward.py compiler_params)
+    ap.add_argument("--blocks", type=int, nargs="+", default=[8, 16])
     args = ap.parse_args()
 
     import bench
