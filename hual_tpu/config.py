@@ -81,6 +81,19 @@ class TrainConfig:
     # (docs/PARITY.md), so parity is distributional under any impl.
     rng_impl: str = "rbg"        # train-step dropout/gumbel streams
     infer_rng_impl: str = "rbg"  # MC-dropout inference sweep streams
+    # Backend for the scanned eval / AL-infer sweeps: "flax" (XLA-compiled
+    # model, default) or "fused" (the whole deterministic forward as ONE
+    # Pallas VMEM kernel, ops/pallas/fused_forward.py; stochastic MC passes
+    # stay on the flax model).  Real-chip comparison in
+    # results/fused_forward_bench.json / PROFILING.md §3.
+    sweep_backend: str = "flax"
+    # samples per fused-kernel grid step; Mosaic requires a multiple of 8
+    fused_block: int = 8
+    # bf16 multiplies (f32 accumulation) inside the fused kernel — the same
+    # numerics class as the flax path's TPU-default matmul precision, and
+    # the fastest measured infer combination (fused clean pass + bf16
+    # stochastic passes + bf16 MXU: results/fused_forward_bench.json)
+    fused_mxu_bf16: bool = False
     # Data residency.  None (auto): device-resident dataset unless the
     # feature table would exceed hbm_budget_gb per chip, then fall back to
     # host streaming (per-batch host gather + prefetch thread).  True/False

@@ -172,7 +172,7 @@ def pack_weights(params: dict, attn_layer: int, dim: int) -> tuple[dict, dict]:
 
 
 def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
-                  tau, use_gumbel):
+                  tau, use_gumbel, mxu_bf16=False):
     """vf (bb,T,D), qf (bb,W,D); masks as FLAT COLUMNS (bb*T,1)/(bb*W,1)
     float32 (flattened outside the kernel — Mosaic rejects lane-merging
     reshapes, and XLA does them for free).
@@ -186,8 +186,14 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
         return (x - m) * jax.lax.rsqrt(v + 1e-6) * w(pre + ".scale") \
             + w(pre + ".bias")
 
+    # mxu_bf16: multiply in bfloat16, accumulate f32 — the SAME numerics
+    # class as the flax path's TPU-default matmul precision (config
+    # model.matmul_precision "default"); f32 multiplies cost ~4x on the MXU.
+    mul_dt = jnp.bfloat16 if mxu_bf16 else f32
+
     def mm(x2, mat):  # (N, D) @ (D, M)
-        return jax.lax.dot_general(x2, mat, (((1,), (0,)), ((), ())),
+        return jax.lax.dot_general(x2.astype(mul_dt), mat.astype(mul_dt),
+                                   (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32)
 
     def dense(x2, name):
@@ -195,7 +201,8 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
 
     def mmt(a2, b2):  # (N, K) @ (M, K)^T without a materialized transpose
         # (Mosaic rejects relayout transposes; its matmul contracts any dim)
-        return jax.lax.dot_general(a2, b2, (((1,), (1,)), ((), ())),
+        return jax.lax.dot_general(a2.astype(mul_dt), b2.astype(mul_dt),
+                                   (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32)
 
     # Mosaic rejects reshapes that merge/split the lane (minor) dimension —
@@ -438,7 +445,7 @@ def fused_call(stacks: dict, layout: dict, vfeats: jnp.ndarray,
                q_mask: jnp.ndarray, *, attn_layer: int = 2,
                num_heads: int = 8, tau: float = 0.3,
                use_gumbel: bool = False, block_b: int = 8,
-               interpret: bool = False):
+               mxu_bf16: bool = False, interpret: bool = False):
     """The pallas_call on pre-packed weight stacks (pack once per sweep,
     not once per scanned step).
 
@@ -448,7 +455,15 @@ def fused_call(stacks: dict, layout: dict, vfeats: jnp.ndarray,
     """
     B, T, D = vfeats.shape
     W = qfeats.shape[1]
-    bb = min(block_b, B)
+    # keep the block at its configured size and pad B up to a multiple of
+    # it (B < bb included): Mosaic requires the (bb, T) output blocks'
+    # second-to-last dim divisible by 8, so shrinking bb to a small batch
+    # would produce an illegal block shape
+    bb = block_b
+    if not interpret and bb % 8 != 0:
+        raise ValueError(
+            f"block_b={bb}: Mosaic requires the (bb, T) output blocks' "
+            f"second-to-last dim divisible by 8 (use block_b in 8, 16, ...)")
     pad = (-B) % bb
     if pad:
         vfeats = jnp.pad(vfeats, ((0, pad), (0, 0), (0, 0)))
@@ -458,7 +473,7 @@ def fused_call(stacks: dict, layout: dict, vfeats: jnp.ndarray,
     Bp = B + pad
 
     static = dict(bb=bb, T=T, W=W, D=D, H=num_heads, attn_layer=attn_layer,
-                  tau=tau, use_gumbel=use_gumbel)
+                  tau=tau, use_gumbel=use_gumbel, mxu_bf16=mxu_bf16)
 
     blk3 = lambda i: (i, 0, 0)
     blk2 = lambda i: (i, 0)
@@ -508,18 +523,18 @@ def fused_call(stacks: dict, layout: dict, vfeats: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("attn_layer", "num_heads",
                                              "tau", "use_gumbel", "block_b",
-                                             "interpret"))
+                                             "mxu_bf16", "interpret"))
 def fused_forward(params: dict, vfeats: jnp.ndarray, qfeats: jnp.ndarray,
                   v_mask: jnp.ndarray, q_mask: jnp.ndarray, *,
                   attn_layer: int = 2, num_heads: int = 8, tau: float = 0.3,
                   use_gumbel: bool = False, block_b: int = 8,
-                  interpret: bool = False):
+                  mxu_bf16: bool = False, interpret: bool = False):
     """pack_weights + fused_call in one step (single-dispatch use)."""
     stacks, layout = pack_weights(params, attn_layer, vfeats.shape[-1])
     return fused_call(stacks, layout, vfeats, qfeats, v_mask, q_mask,
                       attn_layer=attn_layer, num_heads=num_heads, tau=tau,
                       use_gumbel=use_gumbel, block_b=block_b,
-                      interpret=interpret)
+                      mxu_bf16=mxu_bf16, interpret=interpret)
 
 
 def encoder_inputs(model, params: dict, batch: dict,

@@ -308,7 +308,8 @@ def make_infer_step_indexed(model, mc_droprate: float = 0.0,
 # small-shape model (PROFILING.md §3).
 
 
-def make_fused_eval_sweep_indexed(model, block_b: int = 8) -> Callable:
+def make_fused_eval_sweep_indexed(model, block_b: int = 8,
+                                  mxu_bf16: bool = False) -> Callable:
     """Eval sweep with the fused forward: sels (n_batches, B) -> ious."""
     from hual_tpu.ops.pallas.fused_forward import (encoder_inputs, fused_call,
                                                    pack_weights)
@@ -326,7 +327,8 @@ def make_fused_eval_sweep_indexed(model, block_b: int = 8) -> Callable:
                                  attn_layer=model.attn_layer,
                                  num_heads=model.num_heads, tau=model.tau,
                                  use_gumbel=model.use_gumbel,
-                                 block_b=block_b, interpret=interp)
+                                 block_b=block_b, mxu_bf16=mxu_bf16,
+                                 interpret=interp)
             sidx, eidx = span_decode_pallas(s, e, vm, interpret=interp)
             return None, device_ious(sidx, eidx, batch["s_ind"],
                                      batch["e_ind"], batch["video_seq_len"],
@@ -339,8 +341,8 @@ def make_fused_eval_sweep_indexed(model, block_b: int = 8) -> Callable:
 
 
 def make_fused_infer_sweep_indexed(model, mc_droprate: float = 0.0,
-                                   mc_model=None,
-                                   block_b: int = 8) -> Callable:
+                                   mc_model=None, block_b: int = 8,
+                                   mxu_bf16: bool = False) -> Callable:
     """AL MC-dropout sweep with the CLEAN pass on the fused kernel; the
     stochastic passes (dropout needs the JAX RNG stream) stay on the flax
     model (or a bf16 mc_model clone).  Same stacked-output schema as
@@ -365,7 +367,8 @@ def make_fused_infer_sweep_indexed(model, mc_droprate: float = 0.0,
                                   attn_layer=model.attn_layer,
                                   num_heads=model.num_heads, tau=model.tau,
                                   use_gumbel=model.use_gumbel,
-                                  block_b=block_b, interpret=interp)
+                                  block_b=block_b, mxu_bf16=mxu_bf16,
+                                  interpret=interp)
             sidx, eidx = span_decode_pallas(s, e, vm, interpret=interp)
             if mc_droprate == 0.0:
                 mc1 = mc2 = {"start_logits": s, "end_logits": e}

@@ -163,10 +163,22 @@ class Trainer:
                                      config.loss.match_lambda,
                                      config.train.droprate),
             donate_argnums=(0, 1))
-        self._eval_sweep = jax.jit(make_eval_sweep_indexed(self.model))
-        self._infer_sweep = jax.jit(make_infer_sweep_indexed(
-            self.model, config.train.mc_droprate, config.train.fold_mc,
-            self._mc_model()))
+        if config.train.sweep_backend == "fused":
+            from hual_tpu.runtime.steps import (make_fused_eval_sweep_indexed,
+                                                make_fused_infer_sweep_indexed)
+            bb = config.train.fused_block
+            mx = config.train.fused_mxu_bf16
+            self._eval_sweep = jax.jit(
+                make_fused_eval_sweep_indexed(self.model, block_b=bb,
+                                              mxu_bf16=mx))
+            self._infer_sweep = jax.jit(make_fused_infer_sweep_indexed(
+                self.model, config.train.mc_droprate, self._mc_model(),
+                block_b=bb, mxu_bf16=mx))
+        else:
+            self._eval_sweep = jax.jit(make_eval_sweep_indexed(self.model))
+            self._infer_sweep = jax.jit(make_infer_sweep_indexed(
+                self.model, config.train.mc_droprate, config.train.fold_mc,
+                self._mc_model()))
         # eval/infer index matrices are a pure function of the (fixed) split
         # and batch size; build + upload once, not once per epoch
         self._sweep_cache: dict[str, tuple[Any, list, jax.Array]] = {}

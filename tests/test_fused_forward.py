@@ -135,3 +135,58 @@ def test_fused_sweeps_match_flax_sweeps():
     # stochastic passes still real
     assert not np.allclose(np.asarray(fused_out["start_logits1"]),
                            np.asarray(fused_out["start_logits2"]))
+
+
+def test_trainer_sweep_backend_config_wiring(tmp_path):
+    """train.sweep_backend="fused" routes the trainer's eval/infer sweeps
+    through the fused kernel and reproduces the flax backend's metrics."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_synthetic_data import make_dataset
+
+    from hual_tpu.config import (Config, LossConfig, ModelConfig,
+                                 PathsConfig, TrainConfig)
+    from hual_tpu.data.datasets import gen_or_load_dataset
+    from hual_tpu.data.features import FeatureStore
+    from hual_tpu.runtime.trainer import Trainer
+
+    root = str(tmp_path)
+    make_dataset(root, task="charades", n_train=24, n_test=12, vdim=16,
+                 max_raw_len=12, seed=3)
+
+    def cfg(backend):
+        return Config(
+            task="charades", suffix="re0",
+            paths=PathsConfig(
+                ckpt_dir=os.path.join(root, "ckpt"),
+                cache_dir=os.path.join(root, "data_pkl"),
+                feature_path=os.path.join(root,
+                                          "data/features/charades_i3d"),
+                glove_path=os.path.join(root,
+                                        "data/glove/glove.840B.300d.txt"),
+                train_path=os.path.join(root, "data/charades_re0/train.json"),
+                test_path=os.path.join(root, "data/charades_re0/test.json"),
+            ),
+            train=TrainConfig(epochs=1, batch_size=6, seed=12345,
+                              sweep_backend=backend, fused_block=3),
+            model=ModelConfig(name="SeqPAN", max_vlen=8, max_tlen=8,
+                              vdim=16, dim=16, num_heads=2, word_dim=300,
+                              char_dim=4, attn_layer=1),
+            loss=LossConfig(),
+        )
+
+    metrics = {}
+    for backend in ("flax", "fused"):
+        c = cfg(backend)
+        dataset = gen_or_load_dataset(c)
+        features = FeatureStore.from_dir(c.paths.feature_path,
+                                         c.model.max_vlen)
+        tr = Trainer(c, dataset, features)
+        tr.init_state()
+        metrics[backend] = tr.test()
+    for k in ("r1i3", "r1i5", "r1i7", "miou"):
+        assert abs(metrics["flax"][k] - metrics["fused"][k]) < 1e-6, \
+            (k, metrics)

@@ -33,6 +33,11 @@ def main() -> int:
     # bb=32's block-diagonal attention matrices exceed even the raised
     # 100 MB VMEM cap; 8 and 16 fit (fused_forward.py compiler_params)
     ap.add_argument("--blocks", type=int, nargs="+", default=[8, 16])
+    ap.add_argument("--mxu-bf16", action="store_true",
+                    help="bf16 multiplies (f32 accumulate) inside the "
+                         "fused kernel — the flax path's default-precision "
+                         "numerics class")
+    ap.add_argument("--skip-flax", action="store_true")
     args = ap.parse_args()
 
     import bench
@@ -70,24 +75,38 @@ def main() -> int:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    timed("eval_flax", jax.jit(make_eval_sweep_indexed(model)), False)
+    mx = args.mxu_bf16
+    tag = "_bf16mxu" if mx else ""
+    if not args.skip_flax:
+        timed("eval_flax", jax.jit(make_eval_sweep_indexed(model)), False)
     for bb in args.blocks:
-        timed(f"eval_fused_bb{bb}",
-              jax.jit(make_fused_eval_sweep_indexed(model, block_b=bb)),
+        timed(f"eval_fused_bb{bb}{tag}",
+              jax.jit(make_fused_eval_sweep_indexed(model, block_b=bb,
+                                                    mxu_bf16=mx)),
               False)
-    timed("infer_flax_mc0.5", jax.jit(make_infer_sweep_indexed(model, 0.5)),
-          True)
+    if not args.skip_flax:
+        timed("infer_flax_mc0.5",
+              jax.jit(make_infer_sweep_indexed(model, 0.5)), True)
     bb = args.blocks[0]
-    timed(f"infer_fusedclean_mc0.5_bb{bb}",
-          jax.jit(make_fused_infer_sweep_indexed(model, 0.5, block_b=bb)),
-          True)
+    if not args.skip_flax:
+        timed(f"infer_fusedclean_mc0.5_bb{bb}{tag}",
+              jax.jit(make_fused_infer_sweep_indexed(model, 0.5, block_b=bb,
+                                                     mxu_bf16=mx)), True)
     mc16 = model.clone(compute_dtype="bfloat16")
-    timed("infer_flax_mc0.5_bf16stoch",
-          jax.jit(make_infer_sweep_indexed(model, 0.5, mc_model=mc16)), True)
-    timed(f"infer_fusedclean_bf16stoch_bb{bb}",
+    if not args.skip_flax:
+        timed("infer_flax_mc0.5_bf16stoch",
+              jax.jit(make_infer_sweep_indexed(model, 0.5, mc_model=mc16)),
+              True)
+    timed(f"infer_fusedclean_bf16stoch_bb{bb}{tag}",
           jax.jit(make_fused_infer_sweep_indexed(model, 0.5, mc_model=mc16,
-                                                 block_b=bb)), True)
+                                                 block_b=bb,
+                                                 mxu_bf16=mx)), True)
 
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f).get("rows", [])
+        have = {r["name"] for r in rows}
+        rows = [r for r in prev if r["name"] not in have] + rows
     result = {"workload": f"scanned sweeps, B={B} x {S} steps, charades "
                           f"parity shapes", "device": jax.devices()[0].device_kind,
               "protocol": "chained dispatches; device_get-terminated "
