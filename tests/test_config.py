@@ -1,6 +1,6 @@
 import os
 
-from hual_tpu.config import Config
+from hual_tpu.config import Config, TrainConfig
 
 
 def test_load_reference_yaml_schema(tmp_path):
@@ -37,7 +37,10 @@ def test_derive_round():
 def test_batch_size_properties():
     cfg = Config.load("configs/charades/SeqPAN.yaml")
     assert cfg.eval_batch_size == 16
-    assert cfg.infer_batch_size == 256
+    # default sweep batch = max(96, batch_size): 96 measured optimal on the
+    # v5e grid (results/sweep_ablation*.json, PROFILING.md §3.4)
+    assert cfg.infer_batch_size == 96
+    assert Config(train=TrainConfig(batch_size=128)).infer_batch_size == 128
     cfg.train.eval_batch_size = 64
     cfg.train.infer_batch_size = 512
     assert cfg.eval_batch_size == 64 and cfg.infer_batch_size == 512

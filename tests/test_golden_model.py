@@ -45,25 +45,10 @@ LR = 1e-4
 # TF variable name -> flax param path
 
 
-def tf_name_to_flax_path(name: str) -> tuple:
-    """Map a reference TF1 variable name onto our flax param-tree path.
-
-    Scope-by-scope the graphs line up; the deliberate differences:
-      * ``matching_loss`` scope -> our ``matching_head`` module
-        (reference models/layers.py:157 vs models/seqpan.py setup)
-      * the reference nests LN/attn/FFN of feature_encoder in an extra
-        ``multihead_attention_block`` scope (models/modules.py:128) that our
-        FeatureEncoder flattens — drop that component
-      * TF layer_norm variables are ``layer_norm_scale``/``layer_norm_bias``
-        (models/layers.py:11-12); ours are ``scale``/``bias``
-    """
-    parts = name.split(":")[0].split("/")
-    parts = [p for p in parts if p != "multihead_attention_block"]
-    if parts[0] == "matching_loss":
-        parts[0] = "matching_head"
-    tail = {"layer_norm_scale": "scale", "layer_norm_bias": "bias"}
-    parts[-1] = tail.get(parts[-1], parts[-1])
-    return tuple(parts)
+# The TF-variable -> flax-path name map is production code now (it also
+# drives the checkpoint-porting tool, tools/port_tf1_checkpoint.py); it
+# lives in hual_tpu/utils/tf1_port.py and is asserted exhaustive here.
+from hual_tpu.utils.tf1_port import tf_name_to_flax_path  # noqa: E402
 
 
 def _flax_leaf_paths(params) -> dict:
