@@ -38,7 +38,8 @@ class TrainConfig:
     clip_norm: float = 1.0
     # TPU additions (defaults preserve reference behavior)
     weight_decay: float = 0.01      # reference models/ops.py:121 (hardcoded)
-    eval_batch_size: Optional[int] = None   # defaults to batch_size
+    eval_batch_size: Optional[int] = None   # default max(96, batch);
+    # measured eval-sweep batch curve: results/eval_batch_bench.json
     infer_batch_size: Optional[int] = None  # train-set MC-dropout sweep;
     # defaults to max(96, batch): B=96 measured fastest on the v5e sweep
     # grid {32..1024} at 23.5k pairs/s vs 18.5k at the old 256 — this
@@ -200,7 +201,14 @@ class Config:
 
     @property
     def eval_batch_size(self) -> int:
-        return self.train.eval_batch_size or self.train.batch_size
+        # default max(96, batch): the single-pass eval sweep keeps gaining
+        # with batch on the v5e (B=16: 60.1k pairs/s, 96: 76.8k, 192: 83.3k
+        # at T=64 — results/eval_batch_bench.json); 96 shares the infer
+        # sweep's shape (one cached executable serves both).  Metrics are
+        # invariant to the choice (test_train_e2e pad-invariance); the
+        # trainer clamps to the split size so tiny corpora compile tiny
+        # programs.
+        return self.train.eval_batch_size or max(96, self.train.batch_size)
 
     @property
     def infer_batch_size(self) -> int:

@@ -459,9 +459,10 @@ class Trainer:
         ds = {"test": self.test_set, "val": self.val_set}[split]
         if ds is None:
             raise ValueError(f"{split} set is not available")
+        # clamp so tiny corpora compile tiny programs (mirrors infer's clamp)
+        batch_size = min(self.config.eval_batch_size, len(ds))
         if self.host_streaming:
-            loader = EvalLoader(ds, self.config.eval_batch_size,
-                                pad_to_batch=True)
+            loader = EvalLoader(ds, batch_size, pad_to_batch=True)
             parts = []
             for _, batch, n_valid in prefetch(loader.batch_iter()):
                 out = self._eval_step_host(self.state.params, batch,
@@ -473,7 +474,7 @@ class Trainer:
         # ragged batch (dropped via the n_valid mask) keeps one trace; the
         # whole split is ONE scanned dispatch + ONE fetch, and the index
         # matrix is cached on device across epochs
-        pairs, sels = self._sweep_sels(split, ds, self.config.eval_batch_size)
+        pairs, sels = self._sweep_sels(split, ds, batch_size)
         ious = np.asarray(self._eval_sweep(self.state.params, data, sels,
                                            self.word_vectors))
         kept = np.concatenate([ious[i, :n] for i, (_, n) in enumerate(pairs)])

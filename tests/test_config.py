@@ -36,7 +36,10 @@ def test_derive_round():
 
 def test_batch_size_properties():
     cfg = Config.load("configs/charades/SeqPAN.yaml")
-    assert cfg.eval_batch_size == 16
+    # eval default = max(96, batch): measured eval-sweep optimum region
+    # (results/eval_batch_bench.json); metrics are batch-invariant
+    assert cfg.eval_batch_size == 96
+    assert Config(train=TrainConfig(batch_size=128)).eval_batch_size == 128
     # default sweep batch = max(96, batch_size): 96 measured optimal on the
     # v5e grid (results/sweep_ablation*.json, PROFILING.md §3.4)
     assert cfg.infer_batch_size == 96
