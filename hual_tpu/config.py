@@ -18,6 +18,29 @@ from typing import Any, Optional
 import yaml
 
 
+# Compute/storage dtype names are validated at config construction: a typo
+# like "bf32" must fail loudly, not silently mean float32 (the model compares
+# the literal string "bfloat16", models/seqpan.py).
+_DTYPE_ALIASES = {"float32": "float32", "f32": "float32", "": "float32",
+                  "bfloat16": "bfloat16", "bf16": "bfloat16"}
+
+
+def _canon_dtype(name: Any, field_name: str) -> str:
+    try:
+        return _DTYPE_ALIASES[str(name).lower()]
+    except KeyError:
+        raise ValueError(
+            f"{field_name} must be one of {sorted(set(_DTYPE_ALIASES))!r}, "
+            f"got {name!r}") from None
+
+
+def _check_choice(value: Any, field_name: str, choices: tuple) -> Any:
+    if value not in choices:
+        raise ValueError(f"{field_name} must be one of {choices}, "
+                         f"got {value!r}")
+    return value
+
+
 @dataclass
 class PathsConfig:
     ckpt_dir: str = "./ckpt"
@@ -103,6 +126,11 @@ class TrainConfig:
     host_streaming: Optional[bool] = None
     hbm_budget_gb: float = 12.0
 
+    def __post_init__(self):
+        self.mc_dtype = _canon_dtype(self.mc_dtype, "train.mc_dtype")
+        _check_choice(self.sweep_backend, "train.sweep_backend",
+                      ("flax", "fused"))
+
 
 @dataclass
 class ModelConfig:
@@ -135,6 +163,16 @@ class ModelConfig:
     # records / T=100 / vdim=1024 is ~13.8 GB f32 vs ~6.9 GB bf16 on a
     # 16 GB v5e chip).  Features are cast back to float32 on gather.
     feature_dtype: str = "float32"
+
+    def __post_init__(self):
+        self.compute_dtype = _canon_dtype(self.compute_dtype,
+                                          "model.compute_dtype")
+        self.feature_dtype = _canon_dtype(self.feature_dtype,
+                                          "model.feature_dtype")
+        _check_choice(self.span_decode, "model.span_decode",
+                      ("xla", "pallas"))
+        _check_choice(self.matmul_precision, "model.matmul_precision",
+                      ("default", "high", "highest"))
 
 
 @dataclass

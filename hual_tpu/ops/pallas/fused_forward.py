@@ -208,7 +208,20 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
     # Mosaic rejects reshapes that merge/split the lane (minor) dimension —
     # e.g. (bb, L) -> (bb*L,) or (bb*L, 1) -> (bb, L).  The helpers below
     # express those data movements as one-hot matmuls + lane reductions
-    # (exact: 0/1 weights, adding 0.0 is exact in f32).
+    # (exact: 0/1 weights, adding 0.0 is exact in f32).  They are pure
+    # LAYOUT moves, so they must never quantize: mm_exact keeps f32
+    # operands even under mxu_bf16 (a bf16 mm here would round the finished
+    # f32 values it is merely relocating — e.g. the final span logits).
+
+    def mm_exact(x2, mat):
+        return jax.lax.dot_general(x2.astype(f32), mat.astype(f32),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def mmt_exact(a2, b2):  # ones-broadcasts: (N,1) @ (M,1)^T, exact
+        return jax.lax.dot_general(a2.astype(f32), b2.astype(f32),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
 
     def samp_sel(R, L):  # (R, bb): S[r, b] = 1.0 iff b == r // L
         r = jax.lax.broadcasted_iota(jnp.int32, (R, bb), 0) // L
@@ -222,7 +235,7 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
 
     def flatcol(x2, L):  # (bb, L) -> (bb*L, 1)
         R = bb * L
-        rows = mm(samp_sel(R, L), x2)             # (R, L), row r = x2[r//L]
+        rows = mm_exact(samp_sel(R, L), x2)       # (R, L), row r = x2[r//L]
         return jnp.sum(rows * pos_onehot(R, L), axis=-1, keepdims=True)
 
     def samp_gather(L):  # (bb, bb*L): G[b, r] = 1.0 iff b == r // L
@@ -232,7 +245,7 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
 
     def unflat(xcol, L):  # (bb*L, 1) -> (bb, L)
         spread = xcol * pos_onehot(bb * L, L)     # (R, L)
-        return mm(samp_gather(L), spread)         # (bb, L)
+        return mm_exact(samp_gather(L), spread)   # (bb, L)
 
     def vec0(name):  # first element of a packed (D,) vector, as (1, 1)
         i = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
@@ -271,7 +284,7 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
         same = rows == cols
         # tm_col broadcast across rows via an outer product with a ones
         # column (K=1 matmul — no transpose).
-        tm_mat = mmt(jnp.ones((bb * Tq, 1), f32), tm_col)
+        tm_mat = mmt_exact(jnp.ones((bb * Tq, 1), f32), tm_col)
         ok = same & (tm_mat > 0)
         if not row_uniform:
             return jnp.where(ok, 0.0, MASK).astype(f32)
@@ -331,7 +344,7 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
         sub1 = jnp.sum(x2 * w(nm + ".w1"), axis=-1, keepdims=True)  # (bbT2,1)
         sub2 = mmt(x1 * w(nm + ".wm"), x2)                     # (bbT1, bbT2)
         # sub1 broadcast across rows = outer product with a ones column
-        score = sub0 + mmt(jnp.ones((bb * T1, 1), f32), sub1) + sub2
+        score = sub0 + mmt_exact(jnp.ones((bb * T1, 1), f32), sub1) + sub2
         b2 = block_bias(m1, m2, T1, T2, row_uniform=False)
         score_ = jax.nn.softmax(score + b2, axis=-1)
         # softmax over axis 0 restricted to each sample's row-block: the
@@ -385,8 +398,8 @@ def _forward_math(vf, qf, vmask, qmask, w, *, bb, T, W, D, H, attn_layer,
     qmask2 = unflat(qm_col, W)                                   # (bb, W)
     xw = unflat(jnp.sum(v2q * w("cq_cat.wp"), axis=-1, keepdims=True), W)
     alphas = jax.nn.softmax(xw * qmask2 + MASK * (1.0 - qmask2), axis=-1)
-    pooled = mm(samp_gather(W), v2q * flatcol(alphas, W))        # (bb, D)
-    tiled = mm(samp_sel(bb * T, T), pooled)                      # (bbT, D)
+    pooled = mm_exact(samp_gather(W), v2q * flatcol(alphas, W))  # (bb, D)
+    tiled = mm_exact(samp_sel(bb * T, T), pooled)                # (bbT, D)
     fuse = mm(jnp.concatenate([q2v, tiled], axis=-1),
               w("cq_cat.dense", kind="w2")) + w("cq_cat.dense.b")
 
@@ -541,37 +554,28 @@ def encoder_inputs(model, params: dict, batch: dict,
                    word_vectors: jnp.ndarray):
     """The pre-kernel XLA part: embeddings + input projections + LN
     (models/model.py:36-49).  Gathers and two big GEMMs — shapes XLA
-    already handles well."""
+    already handles well.  Runs the MODEL'S OWN encoder submodules (bound
+    via method=) rather than re-implementing the table layout / projection
+    / LN math, so a future change to WordEmbedding/Conv1D/LayerNorm cannot
+    desync the fused backend's inputs from the flax model."""
     from hual_tpu.ops.masking import sequence_mask
 
-    p = params["params"]
     v_mask = sequence_mask(batch["video_seq_len"], model.max_vlen)
     q_mask = (batch["word_ids"] != 0).astype(jnp.int32)
 
-    table = jnp.concatenate([jnp.zeros((1, model.word_dim), jnp.float32),
-                             p["word_embs"]["unk"], word_vectors], axis=0)
-    word_emb = jnp.take(table, batch["word_ids"], axis=0)
-    char_emb = model.apply({"params": p}, batch["char_ids"], 0.0, True,
-                           method=lambda m, c, r, d: m.char_embs(c, r, d))
-    qfeats = jnp.concatenate([word_emb, char_emb], axis=-1)
-    qk = p["query_conv1d"]["kernel"][0]
-    qfeats = jnp.einsum("bwd,df->bwf", qfeats, qk,
-                        preferred_element_type=jnp.float32) \
-        + p["query_conv1d"]["bias"][0]
-    qfeats = _ln_tree(qfeats, p["q_layer_norm"])
+    def _enc(m, b, wv):
+        # the deterministic drop-0 encoder of SeqPAN.__call__ (f32 inputs
+        # keep this at the fused path's f32 numerics regardless of the
+        # model's compute_dtype)
+        word_emb = m.word_embs(b["word_ids"], wv, 0.0, True)
+        char_emb = m.char_embs(b["char_ids"], 0.0, True)
+        qf = jnp.concatenate([word_emb, char_emb], axis=-1)
+        qf = m.q_layer_norm(m.query_conv1d(qf))
+        vf = m.v_layer_norm(m.video_conv1d(b["video_features"]))
+        return vf, qf
 
-    vk = p["video_conv1d"]["kernel"][0]
-    vfeats = jnp.einsum("btd,df->btf", batch["video_features"], vk,
-                        preferred_element_type=jnp.float32) \
-        + p["video_conv1d"]["bias"][0]
-    vfeats = _ln_tree(vfeats, p["v_layer_norm"])
+    vfeats, qfeats = model.apply(params, batch, word_vectors, method=_enc)
     return vfeats, qfeats, v_mask, q_mask
-
-
-def _ln_tree(x, lnp):
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    v = jnp.mean(jnp.square(x - m), axis=-1, keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + 1e-6) * lnp["scale"] + lnp["bias"]
 
 
 def seqpan_forward_fused(model, params: dict, batch: dict,

@@ -352,6 +352,11 @@ def make_fused_infer_sweep_indexed(model, mc_droprate: float = 0.0,
     from hual_tpu.ops.pallas.span_decode import span_decode_pallas
 
     stoch = mc_model if mc_model is not None else model
+    # same reuse rule as make_infer_step: the clean logits can stand in for
+    # the two "stochastic" passes only when NOTHING is stochastic at eval —
+    # with the gumbel matching head enabled the reference samples noise in
+    # every sess.run, so the passes must run live even at mc_droprate 0
+    stochastic_eval = bool(getattr(model, "use_gumbel", False))
 
     def sweep(params, data, sels, word_vectors, rng):
         stacks, layout = pack_weights(params, model.attn_layer, model.dim)
@@ -370,7 +375,7 @@ def make_fused_infer_sweep_indexed(model, mc_droprate: float = 0.0,
                                   block_b=block_b, mxu_bf16=mxu_bf16,
                                   interpret=interp)
             sidx, eidx = span_decode_pallas(s, e, vm, interpret=interp)
-            if mc_droprate == 0.0:
+            if mc_droprate == 0.0 and not stochastic_eval:
                 mc1 = mc2 = {"start_logits": s, "end_logits": e}
             else:
                 r1, r2 = jax.random.split(jax.random.fold_in(rng, i))

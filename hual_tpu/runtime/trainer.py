@@ -163,7 +163,15 @@ class Trainer:
                                      config.loss.match_lambda,
                                      config.train.droprate),
             donate_argnums=(0, 1))
-        if config.train.sweep_backend == "fused":
+        if config.train.sweep_backend == "fused" and self.host_streaming:
+            # the fused sweeps gather from the device-resident table, which
+            # host-streaming mode deliberately does not build — fall back
+            # loudly rather than silently measuring flax twice in an A/B
+            self.logger.warning(
+                "train.sweep_backend='fused' requires a device-resident "
+                "dataset; host-streaming mode is active, using the flax "
+                "sweep backend instead")
+        if config.train.sweep_backend == "fused" and not self.host_streaming:
             from hual_tpu.runtime.steps import (make_fused_eval_sweep_indexed,
                                                 make_fused_infer_sweep_indexed)
             bb = config.train.fused_block

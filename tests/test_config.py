@@ -62,3 +62,25 @@ def test_unknown_keys_ignored(tmp_path):
         f.write("task: anet\nmodel: {name: SeqPAN, future_knob: 3}\n")
     cfg = Config.load(p)
     assert cfg.task == "anet" and cfg.model.name == "SeqPAN"
+
+
+def test_dtype_and_backend_validation():
+    """Typos must fail loudly at construction, not silently mean float32
+    (the model compares the literal string 'bfloat16')."""
+    import pytest
+
+    from hual_tpu.config import ModelConfig
+
+    assert ModelConfig(compute_dtype="bf16").compute_dtype == "bfloat16"
+    assert ModelConfig(feature_dtype="f32").feature_dtype == "float32"
+    assert TrainConfig(mc_dtype="bf16").mc_dtype == "bfloat16"
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ModelConfig(compute_dtype="bf32")
+    with pytest.raises(ValueError, match="mc_dtype"):
+        TrainConfig(mc_dtype="half")
+    with pytest.raises(ValueError, match="sweep_backend"):
+        TrainConfig(sweep_backend="fussed")
+    with pytest.raises(ValueError, match="span_decode"):
+        ModelConfig(span_decode="pallass")
+    with pytest.raises(ValueError, match="matmul_precision"):
+        ModelConfig(matmul_precision="hi")

@@ -243,7 +243,26 @@ def test_eval_padding_rows_cannot_leak(trained):
     trainer.infer_trainset(save_path=out_b)
     cfg.train.eval_batch_size = cfg.train.infer_batch_size = None  # restore
 
-    assert exact == ragged
+    # The invariant is NO PADDED-ROW DOUBLE COUNTING, not bitwise-equal
+    # programs (XLA fuses the B=8 and B=7 programs differently, so a
+    # near-tied argmax could flip at ULP level in a future jaxlib).  Assert
+    # it on the per-sample kept-IoU vectors, where a leaked pad row shows up
+    # as a wrong length or a shifted row — then the derived metrics can only
+    # differ by a borderline threshold crossing of an allclose IoU.
+    def kept_ious(batch):
+        pairs, sels = trainer._sweep_sels(f"padleak_{batch}",
+                                          trainer.test_set, batch)
+        ious = np.asarray(trainer._eval_sweep(
+            trainer.state.params, trainer._test_data, sels,
+            trainer.word_vectors))
+        return np.concatenate([ious[i, :n] for i, (_, n) in enumerate(pairs)])
+
+    iou8, iou7 = kept_ious(8), kept_ious(7)
+    assert len(iou8) == len(iou7) == len(trainer.test_set)
+    np.testing.assert_allclose(iou8, iou7, rtol=1e-4, atol=1e-5)
+    for k in exact:
+        assert abs(exact[k] - ragged[k]) <= 100.0 / len(trainer.test_set), \
+            (k, exact[k], ragged[k])
     a, b = load_pickle(out_a), load_pickle(out_b)
     assert len(a) == len(b) == len(trainer.train_set)
     for ra, rb in zip(a, b):

@@ -88,10 +88,10 @@ def main() -> int:
         timed("infer_flax_mc0.5",
               jax.jit(make_infer_sweep_indexed(model, 0.5)), True)
     bb = args.blocks[0]
-    if not args.skip_flax:
-        timed(f"infer_fusedclean_mc0.5_bb{bb}{tag}",
-              jax.jit(make_fused_infer_sweep_indexed(model, 0.5, block_b=bb,
-                                                     mxu_bf16=mx)), True)
+    # fused row: NOT behind --skip-flax (that flag skips flax baselines only)
+    timed(f"infer_fusedclean_mc0.5_bb{bb}{tag}",
+          jax.jit(make_fused_infer_sweep_indexed(model, 0.5, block_b=bb,
+                                                 mxu_bf16=mx)), True)
     mc16 = model.clone(compute_dtype="bfloat16")
     if not args.skip_flax:
         timed("infer_flax_mc0.5_bf16stoch",

@@ -37,6 +37,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -128,7 +129,10 @@ def build_features(root: str, task: str, gt_train, test, max_vlen: int,
         raw_len = int(np.clip(round(dur * 1.5), 8, 2 * max_vlen))
         feat = rng.normal(0.0, 1.0, size=(raw_len, vdim)).astype(np.float32)
         for _, (s, e), sent in items:
-            k = hash(sent.strip().lower()) % N_PATTERNS
+            # zlib.crc32, NOT hash(): Python's str hash is salted per
+            # process, which would make the planted signal — and therefore
+            # every trajectory artifact — irreproducible across runs
+            k = zlib.crc32(sent.strip().lower().encode()) % N_PATTERNS
             lo = int(np.clip(s / max(dur, 1e-6) * raw_len, 0, raw_len - 1))
             hi = max(lo + 1, int(np.ceil(e / max(dur, 1e-6) * raw_len)))
             feat[lo:min(hi, raw_len)] += 2.0 * patterns[k]
