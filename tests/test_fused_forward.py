@@ -137,6 +137,56 @@ def test_fused_sweeps_match_flax_sweeps():
                            np.asarray(fused_out["start_logits2"]))
 
 
+def test_fused_infer_gumbel_passes_run_live_at_mc0():
+    """With the gumbel matching head enabled the reference samples noise in
+    EVERY sess.run, so even at mc_droprate 0 the two 'stochastic' passes
+    must differ — in the fused backend exactly as in the flax one (the
+    clean-logit reuse fast path must not fire)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hual_tpu.models.seqpan import SeqPAN
+    from hual_tpu.runtime.steps import (gather_batch,
+                                        make_fused_infer_sweep_indexed,
+                                        make_infer_step_indexed)
+
+    model = SeqPAN(dim=DIM, num_heads=HEADS, attn_layer=1, max_vlen=T,
+                   word_dim=24, char_dim=8, num_chars=30, use_gumbel=True,
+                   tau=0.3)
+    rng = np.random.default_rng(5)
+    n = 8
+    s = rng.integers(0, T // 2, n).astype(np.int32)
+    data = {
+        "features": jnp.asarray(rng.normal(size=(n, T, V)).astype(np.float32)),
+        "feat_rows": jnp.arange(n, dtype=jnp.int32),
+        "v_len": jnp.asarray(np.r_[np.full(n - 1, T), [7]].astype(np.int32)),
+        "word_ids": jnp.asarray(rng.integers(1, 15, (n, W)).astype(np.int32)),
+        "char_ids": jnp.asarray(rng.integers(0, 30, (n, W, C)).astype(np.int32)),
+        "duration": jnp.asarray(rng.uniform(10, 30, n).astype(np.float32)),
+        "s_ind": jnp.asarray(s),
+        "e_ind": jnp.asarray(np.minimum(s + 3, T - 1).astype(np.int32)),
+    }
+    wv = jnp.asarray(rng.normal(size=(13, 24)).astype(np.float32))
+    batch0 = gather_batch(data, jnp.arange(4, dtype=jnp.int32), False)
+    params = model.init({"params": jax.random.key(0)}, batch0, wv, 0.0,
+                        deterministic=True)
+    key = jax.random.key(9)
+    sels = jnp.arange(8, dtype=jnp.int32).reshape(2, 4)
+
+    # flax reference semantics at mc 0: live gumbel => passes differ
+    flax_out = jax.jit(make_infer_step_indexed(model, 0.0))(
+        params, data, sels[0], wv, key)
+    assert not np.allclose(np.asarray(flax_out["start_logits1"]),
+                           np.asarray(flax_out["start_logits2"]))
+
+    fused_out = jax.jit(make_fused_infer_sweep_indexed(model, 0.0,
+                                                       block_b=4))(
+        params, data, sels, wv, key)
+    assert not np.allclose(np.asarray(fused_out["start_logits1"]),
+                           np.asarray(fused_out["start_logits2"])), \
+        "fused backend reused clean logits despite the gumbel head"
+
+
 def test_trainer_sweep_backend_config_wiring(tmp_path):
     """train.sweep_backend="fused" routes the trainer's eval/infer sweeps
     through the fused kernel and reproduces the flax backend's metrics."""
