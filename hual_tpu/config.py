@@ -23,15 +23,19 @@ import yaml
 # the literal string "bfloat16", models/seqpan.py).
 _DTYPE_ALIASES = {"float32": "float32", "f32": "float32", "": "float32",
                   "bfloat16": "bfloat16", "bf16": "bfloat16"}
+# storage-only dtypes: valid for the feature TABLE (dequantized on gather),
+# never for compute dtypes
+_STORAGE_DTYPE_ALIASES = dict(_DTYPE_ALIASES, int8="int8", i8="int8")
 
 
-def _canon_dtype(name: Any, field_name: str) -> str:
+def _canon_dtype(name: Any, field_name: str, storage: bool = False) -> str:
+    aliases = _STORAGE_DTYPE_ALIASES if storage else _DTYPE_ALIASES
     try:
-        return _DTYPE_ALIASES[str(name).lower()]
+        return aliases[str(name).lower()]
     except KeyError:
         raise ValueError(
-            f"{field_name} must be one of {sorted(set(_DTYPE_ALIASES))!r}, "
-            f"got {name!r}") from None
+            f"{field_name} must be one of {sorted(set(aliases))!r}, "
+        f"got {name!r}") from None
 
 
 def _check_choice(value: Any, field_name: str, choices: tuple) -> Any:
@@ -159,16 +163,20 @@ class ModelConfig:
     # softmaxes, logits and losses stay f32 — models/layers.py)
     compute_dtype: str = "float32"
     # storage dtype of the device-resident video feature table: "float32"
-    # (parity default) or "bfloat16" (halves HBM: ActivityNet at 33.7k
+    # (parity default), "bfloat16" (halves HBM: ActivityNet at 33.7k
     # records / T=100 / vdim=1024 is ~13.8 GB f32 vs ~6.9 GB bf16 on a
-    # 16 GB v5e chip).  Features are cast back to float32 on gather.
+    # 16 GB v5e chip), or "int8" (symmetric per-clip quantization with an
+    # f32 scale column — quarters HBM and the one-time host->device upload;
+    # data/features.py::quantize_features).  Features are restored to
+    # float32 on gather; int8 is lossy (~0.4% of per-clip amax) and opt-in.
     feature_dtype: str = "float32"
 
     def __post_init__(self):
         self.compute_dtype = _canon_dtype(self.compute_dtype,
                                           "model.compute_dtype")
         self.feature_dtype = _canon_dtype(self.feature_dtype,
-                                          "model.feature_dtype")
+                                          "model.feature_dtype",
+                                          storage=True)
         _check_choice(self.span_decode, "model.span_decode",
                       ("xla", "pallas"))
         _check_choice(self.matmul_precision, "model.matmul_precision",

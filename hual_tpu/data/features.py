@@ -54,6 +54,34 @@ def load_video_features(root: str, max_position_length: int | None
     return video_features
 
 
+def quantize_features(packed: np.ndarray,
+                      chunk_rows: int = 4096) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-clip int8 quantization of a packed (N, T, D) table.
+
+    ``scale[n, t] = amax(|packed[n, t, :]|) / 127`` (1.0 for all-zero clips
+    so padding rows dequantize to exact zeros); dequantize on gather as
+    ``q.astype(f32) * scale[..., None]`` (runtime/steps.gather_batch).
+    Per-element error is bounded by scale/2, i.e. ~0.4% of the clip's
+    amax.  Purpose: quarter both the per-chip HBM footprint and the
+    host->device upload bytes of the device-resident table vs float32 —
+    the upload is the measured warm-loop floor through this environment's
+    ~12 MiB/s tunnel (docs/PROFILING.md §5b), and HBM is what forces
+    host-streaming for >16 GB tables.  Chunked over rows to bound the f32
+    temporaries on multi-GB tables.
+    """
+    n = packed.shape[0]
+    q = np.empty(packed.shape, dtype=np.int8)
+    scales = np.empty(packed.shape[:2], dtype=np.float32)
+    for lo in range(0, n, chunk_rows):
+        x = packed[lo:lo + chunk_rows].astype(np.float32, copy=False)
+        amax = np.abs(x).max(axis=-1)
+        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q[lo:lo + chunk_rows] = np.clip(np.rint(x / s[..., None]),
+                                        -127, 127).astype(np.int8)
+        scales[lo:lo + chunk_rows] = s
+    return q, scales
+
+
 class FeatureStore:
     """RAM-resident feature dict plus a packed matrix view for fast batching.
 

@@ -102,7 +102,8 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
                             device_features=shared.get("device_features"),
                             base_dataset=shared.get("dataset"))
     shared["features"] = getattr(trainer, "features", None)
-    shared["device_features"] = getattr(trainer, "_device_features", None)
+    shared["device_features"] = getattr(
+        trainer, "export_device_features", lambda: None)()
     shared["dataset"] = getattr(trainer, "dataset", None)
     shared["feat_key"] = feat_key
     trainer.init_state()

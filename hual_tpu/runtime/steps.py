@@ -53,7 +53,13 @@ def gather_batch(data: dict, sel: jnp.ndarray, with_labels: bool) -> dict:
 
     feat_rows = take("feat_rows")
     feats = jnp.take(data["features"], feat_rows, axis=0)
-    if feats.dtype != jnp.float32:
+    if feats.dtype == jnp.int8:
+        # int8 table (model.feature_dtype): symmetric per-clip quantization
+        # with an f32 scale column (features.quantize_features) — dequantize
+        # only the B gathered rows; compute stays f32
+        scales = jnp.take(data["feature_scales"], feat_rows, axis=0)
+        feats = feats.astype(jnp.float32) * scales[..., None]
+    elif feats.dtype != jnp.float32:
         # the table may be stored bf16 (model.feature_dtype) to halve HBM;
         # compute stays f32 — only the B gathered rows are cast
         feats = feats.astype(jnp.float32)

@@ -125,7 +125,13 @@ class Trainer:
                 f"{per_chip_gb:.1f} GB/chip (budget "
                 f"{config.train.hbm_budget_gb} GB); batches are gathered on "
                 f"host and prefetched")
+            if self._table_spec[1] == np.int8:
+                self.logger.warning(
+                    "model.feature_dtype='int8' only applies to the "
+                    "device-resident table; host-streaming batches are "
+                    "gathered float32 on the host")
             self._device_features = None
+            self._device_feature_scales = None
             self._train_data = self._test_data = self._val_data = None
             self._train_step_host = jax.jit(
                 make_train_step(self.model, self.tx,
@@ -139,15 +145,23 @@ class Trainer:
         else:
             if device_features is not None:
                 # reuse a previous round's device-resident table (features
-                # are round-invariant; re-uploading GBs per round is waste)
-                assert device_features.shape == self._table_spec[0], (
-                    device_features.shape, self._table_spec[0])
-                assert device_features.dtype == self._table_spec[1], (
-                    device_features.dtype, self._table_spec[1])
-                self._device_features = device_features
+                # are round-invariant; re-uploading GBs per round is waste).
+                # int8 tables travel as a (table, scales) pair.
+                tbl, scales = (device_features
+                               if isinstance(device_features, tuple)
+                               else (device_features, None))
+                assert tbl.shape == self._table_spec[0], (
+                    tbl.shape, self._table_spec[0])
+                assert tbl.dtype == self._table_spec[1], (
+                    tbl.dtype, self._table_spec[1])
+                assert (scales is not None) == (self._table_spec[1]
+                                                == np.int8), (
+                    "int8 feature table requires its scales column")
+                self._device_features = tbl
+                self._device_feature_scales = scales
             else:
-                self._device_features = self._put_feature_table(
-                    feature_store.packed)
+                self._device_features, self._device_feature_scales = (
+                    self._put_feature_table(feature_store.packed))
             self._train_data = self._device_data(self.train_set)
             self._test_data = self._device_data(self.test_set)
             self._val_data = (self._device_data(self.val_set)
@@ -221,7 +235,19 @@ class Trainer:
         if name in ("bfloat16", "bf16"):
             import ml_dtypes
             return ml_dtypes.bfloat16
+        if name in ("int8", "i8"):
+            return np.int8
         raise ValueError(f"unsupported feature_dtype '{name}'")
+
+    def export_device_features(self):
+        """The cross-round reusable device table in the shape `__init__`'s
+        ``device_features`` accepts: the bare array, or the (table, scales)
+        pair for int8 tables; None in host-streaming mode."""
+        if self._device_features is None:
+            return None
+        if self._device_feature_scales is not None:
+            return (self._device_features, self._device_feature_scales)
+        return self._device_features
 
     def _mc_model(self):
         """Model variant for the STOCHASTIC MC passes (train.mc_dtype): a
@@ -231,17 +257,29 @@ class Trainer:
             return None
         return self.model.clone(compute_dtype=self._mc_dtype)
 
-    def _put_feature_table(self, packed: np.ndarray) -> jax.Array:
+    def _put_feature_table(self, packed: np.ndarray
+                           ) -> tuple[jax.Array, Optional[jax.Array]]:
         """Upload the (num_videos, T, D) table: cast to the configured
         storage dtype, pad rows to the mesh size, and shard rows across
         EVERY device (feature_sharding) so per-chip HBM scales down with the
-        mesh.  Padding rows are never referenced by feat_rows."""
+        mesh.  Padding rows are never referenced by feat_rows.  Returns
+        (table, scales): int8 tables carry a per-clip f32 scale column
+        (data/features.py::quantize_features, dequantized inside
+        gather_batch); other dtypes return scales=None."""
+        sh = (feature_sharding(self.mesh) if self.mesh.size > 1
+              else self._repl)
+        if self._table_spec[1] == np.int8:
+            from hual_tpu.data.features import quantize_features
+            q, scales = quantize_features(packed)
+            if self.mesh.size > 1:
+                q = pad_rows(q, self.mesh.size)
+                scales = pad_rows(scales, self.mesh.size)
+            return jax.device_put(q, sh), jax.device_put(scales, sh)
         if packed.dtype != self._table_spec[1]:
             packed = packed.astype(self._table_spec[1])
         if self.mesh.size > 1:
             packed = pad_rows(packed, self.mesh.size)
-            return jax.device_put(packed, feature_sharding(self.mesh))
-        return jax.device_put(packed, self._repl)
+        return jax.device_put(packed, sh), None
 
     def _put_word_vectors(self, wv: np.ndarray) -> jax.Array:
         """GloVe matrix: row-sharded over the `model` axis when it exists
@@ -260,6 +298,8 @@ class Trainer:
                 "duration": packed.duration}
         data = {k: jax.device_put(v, self._repl) for k, v in cols.items()}
         data["features"] = self._device_features
+        if self._device_feature_scales is not None:
+            data["feature_scales"] = self._device_feature_scales
         return data
 
     def _data_axis_size(self) -> int:

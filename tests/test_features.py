@@ -1,7 +1,8 @@
 import numpy as np
 import pytest
 
-from hual_tpu.data.features import FeatureStore, visual_feature_sampling
+from hual_tpu.data.features import (FeatureStore, quantize_features,
+                                    visual_feature_sampling)
 
 
 def naive_sampling(feature, max_num_clips):
@@ -63,6 +64,35 @@ def test_feature_store_pack_and_gather():
     assert list(lengths) == [10, 5]
     assert np.all(packed[1, 5:] == 0)  # zero padding past vlen
     assert np.all(packed[0] == 2)
+
+
+def test_quantize_features_error_bound_and_zero_rows():
+    """int8 storage (model.feature_dtype='int8'): per-element dequant error
+    is bounded by scale/2 = amax/254 per clip; all-zero (padding) clips
+    dequantize to exact zeros."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 5, 16)).astype(np.float32) * 10
+    x[2] = 0.0          # a whole zero video
+    x[4, 3:] = 0.0      # zero padding rows inside a video
+    q, scales = quantize_features(x)
+    assert q.dtype == np.int8 and q.shape == x.shape
+    assert scales.dtype == np.float32 and scales.shape == x.shape[:2]
+    deq = q.astype(np.float32) * scales[..., None]
+    amax = np.abs(x).max(axis=-1)
+    bound = np.maximum(amax / 254.0, 1e-12)[..., None] + 1e-7
+    assert np.all(np.abs(deq - x) < bound)
+    assert np.all(deq[2] == 0.0)
+    assert np.all(deq[4, 3:] == 0.0)
+    assert np.all(scales[2] == 1.0)
+
+
+def test_quantize_features_chunking_invariant():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(10, 4, 8)).astype(np.float32)
+    q1, s1 = quantize_features(x, chunk_rows=3)
+    q2, s2 = quantize_features(x, chunk_rows=4096)
+    np.testing.assert_array_equal(q1, q2)
+    np.testing.assert_array_equal(s1, s2)
 
 
 def test_synthetic_queries_per_video_share_features(tmp_path):

@@ -138,5 +138,47 @@ def test_bf16_feature_table_trains(workdir):
     t16, best16, _ = _run(workdir, "bf16", host_streaming=False,
                           feature_dtype="bfloat16")
     assert str(t16._device_features.dtype) == "bfloat16"
+    assert t16.export_device_features() is t16._device_features  # bare array
     m = t16.test()
     assert np.isfinite(m["miou"]) and m["miou"] >= 0.0
+
+
+def test_int8_feature_table_trains_close_to_f32(workdir):
+    """int8 storage (quarters HBM + upload): trains on the dequantized table
+    to metrics close to the f32 run, and the cross-round warm-start export
+    carries the (table, scales) pair without re-quantizing."""
+    import jax
+
+    t8, _, _ = _run(workdir, "q8", host_streaming=False,
+                    feature_dtype="int8")
+    assert str(t8._device_features.dtype) == "int8"
+    assert t8._device_feature_scales is not None
+    m8 = t8.test()
+    assert np.isfinite(m8["miou"]) and m8["miou"] > 0.0
+
+    # the dequantized device table must sit within the quantization bound
+    # (scale/2 per element) of the float32 source — the model never sees
+    # anything further from the real features than that
+    cfg8 = _cfg(workdir, "q8", host_streaming=False, feature_dtype="int8")
+    src = FeatureStore.from_dir(cfg8.paths.feature_path,
+                                cfg8.model.max_vlen).packed
+    q = jax.device_get(t8._device_features)[:src.shape[0]]
+    scales = jax.device_get(t8._device_feature_scales)[:src.shape[0]]
+    deq = q.astype(np.float32) * scales[..., None]
+    assert np.all(np.abs(deq - src) <= scales[..., None] / 2 + 1e-7)
+
+    exported = t8.export_device_features()
+    assert isinstance(exported, tuple) and len(exported) == 2
+
+    # warm start: a next-round trainer must accept the pair as-is
+    cfg2 = _cfg(workdir, "q8b", host_streaming=False, feature_dtype="int8")
+    dataset = gen_or_load_dataset(_cfg(workdir, "shared", None))
+    features = FeatureStore.from_dir(cfg2.paths.feature_path,
+                                     cfg2.model.max_vlen)
+    t8b = Trainer(cfg2, dataset, features, device_features=exported)
+    assert t8b._device_features is t8._device_features
+    assert t8b._device_feature_scales is t8._device_feature_scales
+
+    # a bare int8 table without its scales column must be rejected loudly
+    with pytest.raises(AssertionError):
+        Trainer(cfg2, dataset, features, device_features=exported[0])
