@@ -48,7 +48,7 @@ def main() -> int:
                         "reference-shipped behavior; 0.5 = the paper's "
                         "intended true-MC uncertainty)")
     p.add_argument("--feature-dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="storage dtype of the device-resident feature table")
     a = p.parse_args()
     d = TASK_DEFAULTS[a.task]

@@ -171,7 +171,7 @@ def main() -> int:
                     help="true-MC uncertainty by default — the real-records "
                          "loop is quality evidence, not a parity replay")
     ap.add_argument("--feature-dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "int8"])
     a = ap.parse_args()
     d = TASKS[a.task]
     root = a.root or f"/tmp/real_records_{a.task}"
