@@ -35,7 +35,7 @@ def _canon_dtype(name: Any, field_name: str, storage: bool = False) -> str:
     except KeyError:
         raise ValueError(
             f"{field_name} must be one of {sorted(set(aliases))!r}, "
-        f"got {name!r}") from None
+            f"got {name!r}") from None
 
 
 def _check_choice(value: Any, field_name: str, choices: tuple) -> Any:

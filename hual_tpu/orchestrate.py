@@ -42,8 +42,10 @@ def run_rounds(task: str, rounds: int | None = None,
 
     ``warm_start``: optionally seed the cross-round reuse state from a
     round-0 trainer, e.g. ``{"features": t.features, "device_features":
-    t._device_features, "dataset": t.dataset}`` — round 1 then skips the
-    feature reload/upload and the corpus re-tokenization.
+    t.export_device_features(), "dataset": t.dataset}`` — round 1 then
+    skips the feature reload/upload and the corpus re-tokenization.
+    (export_device_features, not the bare ``_device_features``: int8
+    tables travel as a (table, scales) pair.)
     """
     rounds = rounds or DEFAULT_ROUNDS.get(task, 3)
     base_config_path = base_config_path or DEFAULT_CONFIGS[task]

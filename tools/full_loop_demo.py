@@ -123,7 +123,7 @@ def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
         save_path=f"./results/{task}/re0.pkl")
     times["re0_infer_s"] = round(time.time() - t0, 1)
     warm = {"features": trainer.features,
-            "device_features": trainer._device_features,
+            "device_features": trainer.export_device_features(),
             "dataset": trainer.dataset}
     del trainer
 
