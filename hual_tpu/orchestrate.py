@@ -32,8 +32,16 @@ def run_rounds(task: str, rounds: int | None = None,
                start_round: int = 1, data_root: str = "./data",
                results_root: str = "./results",
                max_retries: int = 1,
-               warm_start: dict | None = None) -> list[dict]:
+               warm_start: dict | None = None,
+               point_strategy: str = "uncertainty",
+               selection: str = "half",
+               strategy_seed: int = 12345) -> list[dict]:
     """The full HUAL loop; returns per-round stats + metrics.
+
+    ``point_strategy`` / ``selection`` expose the paper's ablation axes
+    (uncertainty|random|dichotomy x half|all) end-to-end; the defaults are
+    the reference method (reference update_label.py:185,197).
+    ``strategy_seed`` seeds the 'random' strategy only.
 
     Failure handling (reference run_*.py only checked os.system exit codes
     and aborted): each round retries up to `max_retries` times before the
@@ -61,7 +69,8 @@ def run_rounds(task: str, rounds: int | None = None,
             try:
                 _run_one_round(task, round_idx, base, base_config_path,
                                data_root, results_root, logger, history,
-                               shared)
+                               shared, point_strategy=point_strategy,
+                               selection=selection, strategy_seed=strategy_seed)
                 break
             except Exception:
                 logger.exception(f"round re{round_idx} attempt {attempt} failed")
@@ -76,14 +85,20 @@ def run_rounds(task: str, rounds: int | None = None,
 
 
 def _run_one_round(task, round_idx, base, base_config_path, data_root,
-                   results_root, logger, history, shared=None) -> None:
+                   results_root, logger, history, shared=None,
+                   point_strategy: str = "uncertainty",
+                   selection: str = "half",
+                   strategy_seed: int = 12345) -> None:
     from hual_tpu.cli import build_trainer
 
     shared = {} if shared is None else shared
 
-    logger.info(f"=== round re{round_idx}: update labels ===")
+    logger.info(f"=== round re{round_idx}: update labels "
+                f"({point_strategy}/{selection}) ===")
     stats = update_labels(task, round_idx, data_root=data_root,
-                          results_root=results_root)
+                          results_root=results_root,
+                          point_strategy=point_strategy, selection=selection,
+                          seed=strategy_seed)
     logger.info(f"pseudo-label mIoU {stats['old_miou']:.4f} -> "
                 f"{stats['new_miou']:.4f}")
 
@@ -128,9 +143,20 @@ def main(argv=None) -> int:
     parser.add_argument("--rounds", type=int, default=None)
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--start-round", type=int, default=1)
+    parser.add_argument("--point-strategy", type=str, default="uncertainty",
+                        choices=["uncertainty", "random", "dichotomy"],
+                        help="ablation axis: which frame to ask the expert about")
+    parser.add_argument("--selection", type=str, default="half",
+                        choices=["half", "all"],
+                        help="ablation axis: annotate the uncertain half "
+                             "(reference) or every sample")
+    parser.add_argument("--strategy-seed", type=int, default=12345,
+                        help="seed for the 'random' point strategy")
     args = parser.parse_args(argv)
     run_rounds(args.task, rounds=args.rounds, base_config_path=args.config,
-               start_round=args.start_round)
+               start_round=args.start_round,
+               point_strategy=args.point_strategy, selection=args.selection,
+               strategy_seed=args.strategy_seed)
     return 0
 
 

@@ -104,6 +104,42 @@ def test_run_rounds_plumbing(tmp_path, monkeypatch):
     assert pts2 == 20
 
 
+def test_cli_point_strategy_and_selection_flags(tmp_path, monkeypatch):
+    """The paper's ablation axes are runnable end-to-end from the CLI
+    (VERDICT r3 #5): --point-strategy dichotomy --selection all annotates
+    every record with the deterministic dichotomy midpoint."""
+    root = str(tmp_path)
+    make_dataset(root, task="charades", n_train=12, n_test=4, vdim=8,
+                 max_raw_len=16, seed=7)
+    monkeypatch.chdir(root)
+    cfg_dir = os.path.join(root, "configs", "charades")
+    os.makedirs(cfg_dir)
+    base_path = os.path.join(cfg_dir, "SeqPAN.yaml")
+    from hual_tpu.config import Config, PathsConfig, TrainConfig
+    cfg = Config(task="charades",
+                 paths=PathsConfig(feature_path="./data/features/charades_i3d",
+                                   glove_path="./data/glove/glove.840B.300d.txt",
+                                   train_path="./data/charades_gt/train.json",
+                                   test_path="./data/charades_gt/test.json"),
+                 train=TrainConfig(epochs=1, batch_size=4))
+    cfg.save(base_path)
+    _write_fake_predictions(cfg.derive_round(0), "./results/charades/re0.pkl")
+
+    import hual_tpu.cli as cli
+    monkeypatch.setattr(cli, "build_trainer", lambda c, **kw: StubTrainer(c))
+
+    from hual_tpu.orchestrate import main
+    assert main(["charades", "--rounds", "1", "--config", base_path,
+                 "--point-strategy", "dichotomy", "--selection", "all"]) == 0
+
+    r1 = load_json("./data/charades_re1/train.json")
+    # selection=all: every record got exactly one point this round
+    assert all(len(r[4]["pos_idx"]) + len(r[4]["neg_idx"]) == 1 for r in r1)
+    # dichotomy with no prior annotations bisects [0, vlen): point == 7 at T=16
+    pts = [(r[4]["pos_idx"] + r[4]["neg_idx"])[0] for r in r1]
+    assert pts == [7] * len(r1)
+
+
 def test_run_rounds_retry_on_transient_failure(tmp_path, monkeypatch):
     """A round that fails once is retried (reference run_*.py aborted the
     whole chain on any nonzero exit)."""
@@ -193,7 +229,8 @@ def test_shared_feature_cache_invalidated_on_feature_path_change(monkeypatch, tm
         calls.setdefault("seen", []).append((features, device_features))
         return FakeTrainer()
 
-    def fake_update_labels(task, round_idx, data_root=".", results_root="."):
+    def fake_update_labels(task, round_idx, data_root=".", results_root=".",
+                           **kw):
         return {"old_miou": 0.5, "new_miou": 0.6}
 
     monkeypatch.setattr("hual_tpu.cli.build_trainer", fake_build_trainer)
