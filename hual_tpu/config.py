@@ -118,9 +118,10 @@ class TrainConfig:
     # samples per fused-kernel grid step; Mosaic requires a multiple of 8
     fused_block: int = 8
     # bf16 multiplies (f32 accumulation) inside the fused kernel — the same
-    # numerics class as the flax path's TPU-default matmul precision, and
-    # the fastest measured infer combination (fused clean pass + bf16
-    # stochastic passes + bf16 MXU: results/fused_forward_bench.json)
+    # numerics class as the flax path's TPU-default matmul precision.  All
+    # four infer variants (flax/fused × f32/bf16 stochastic passes) measure
+    # within run-to-run drift of each other (22.0–23.2k pairs/s across
+    # sessions: results/fused_forward_bench.json, PROFILING.md §3.6)
     fused_mxu_bf16: bool = False
     # Data residency.  None (auto): device-resident dataset unless the
     # feature table would exceed hbm_budget_gb per chip, then fall back to

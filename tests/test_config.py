@@ -41,7 +41,7 @@ def test_batch_size_properties():
     assert cfg.eval_batch_size == 96
     assert Config(train=TrainConfig(batch_size=128)).eval_batch_size == 128
     # default sweep batch = max(96, batch_size): 96 measured optimal on the
-    # v5e grid (results/sweep_ablation*.json, PROFILING.md §3.4)
+    # v5e grid (results/sweep_ablation*.json, PROFILING.md §3.5)
     assert cfg.infer_batch_size == 96
     assert Config(train=TrainConfig(batch_size=128)).infer_batch_size == 128
     cfg.train.eval_batch_size = 64
