@@ -1,0 +1,229 @@
+"""True-MC distributional parity vs the reference TF1 graph (grafted weights).
+
+`test_golden_model.py` pins the DETERMINISTIC path (drop 0, no_gumbel).  The
+paper-intended acquisition path is MC-dropout at 0.5 — the feed the reference
+*built* but never wired (`/root/reference/utils/runner_utils.py:79` constructs
+`feed_dict_dropout05` with `drop_rate: 0.5`; the shipped eval never sends it).
+With `train.mc_droprate: 0.5` hual_tpu runs that intended path, so its parity
+is necessarily DISTRIBUTIONAL: dropout masks are framework-private randomness,
+only the induced distribution over logits can agree.
+
+This file pins exactly that, cross-framework, on grafted identical weights:
+
+* run the reference graph N=64 times with an explicit ``drop_rate: 0.5`` feed
+  and our model N=64 times at droprate 0.5 over independent JAX keys,
+* per-position mean over passes must agree within sampling error — the
+  z-scores ``|mean_tf - mean_ours| / stderr`` must look like noise, not bias
+  (max of ~1.5k standard normals is ~3.5; a misplaced dropout layer shifts
+  whole regions by many stderr),
+* per-sample pooled std magnitude (the dropout-noise scale) must match —
+  a missing/extra dropout site changes the noise budget even if means agree,
+* the induced ACQUISITION SIGNAL must match: per-video ``uncert_model`` sums
+  (computed with the golden-pinned `model_uncertainty_batch` on both
+  frameworks' pass pairs) agree in ranking (Spearman) and magnitude.
+
+Tolerances are calibrated from a measured run at these exact shapes/seeds
+(docs/PARITY.md "True-MC distributional parity"): observed z p99 = 2.5/2.8,
+pooled-std ratio in [0.84, 1.21], Spearman 0.97, median |rel diff| 0.07.
+Bounds below leave ~2x headroom; a real placement/scaling bug (e.g. dropout
+applied once instead of twice in dual attention, or a missed 1/(1-p)
+rescale) blows them by an order of magnitude.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+# charades parity shapes (configs/charades/SeqPAN.yaml); B=32 so the ranking
+# comparison has enough videos to be statistically meaningful
+B, T, W, C = 32, 64, 14, 12
+DIM, HEADS, LAYERS = 128, 8, 2
+WORD_DIM, CHAR_DIM, VOCAB, CHARS = 300, 50, 100, 60
+N_PASSES = 64
+MC_RATE = 0.5
+
+
+def _make_batch(rng: np.random.Generator) -> dict:
+    v_len = rng.integers(8, T + 1, size=B).astype(np.int32)
+    v_len[0] = T
+    w_len = rng.integers(3, W + 1, size=B).astype(np.int32)
+    w_len[0] = W
+    feats = rng.normal(size=(B, T, 1024)).astype(np.float32)
+    for i, vl in enumerate(v_len):
+        feats[i, vl:] = 0.0
+    word_ids = np.zeros((B, W), np.int32)
+    char_ids = np.zeros((B, W, C), np.int32)
+    for i, wl in enumerate(w_len):
+        word_ids[i, :wl] = rng.integers(1, VOCAB, size=wl)
+        for j in range(wl):
+            cl = int(rng.integers(1, C + 1))
+            char_ids[i, j, :cl] = rng.integers(1, CHARS, size=cl)
+    return {"video_features": feats, "video_seq_len": v_len,
+            "word_ids": word_ids, "char_ids": char_ids}
+
+
+@pytest.fixture(scope="module")
+def mc_passes():
+    """(N, B, T) start/end logits from both frameworks at drop 0.5, grafted
+    identical weights; plus the fixture batch."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        import tensorflow as tf
+    except ImportError:  # pragma: no cover
+        pytest.skip("tensorflow unavailable")
+    tf.compat.v1.disable_eager_execution()
+    tf.compat.v1.reset_default_graph()
+    tf.compat.v1.set_random_seed(12345)
+
+    from models.model import SeqPAN as RefSeqPAN  # noqa: E402
+
+    rng = np.random.default_rng(20260819)
+    batch = _make_batch(rng)
+    word_vectors = rng.normal(size=(VOCAB - 2, WORD_DIM)).astype(np.float32)
+
+    configs = types.SimpleNamespace(
+        num_chars=CHARS,
+        model=types.SimpleNamespace(vdim=1024, dim=DIM, num_heads=HEADS,
+                                    attn_layer=LAYERS, max_vlen=T,
+                                    word_dim=WORD_DIM, char_dim=CHAR_DIM),
+        train=types.SimpleNamespace(batch_size=B, clip_norm=1.0,
+                                    droprate=0.2, lr=1e-4),
+        loss=types.SimpleNamespace(no_gumbel=True, tau=0.3, match_lambda=1.0),
+    )
+    graph = tf.Graph()
+    ref = RefSeqPAN(configs, graph, word_vectors=word_vectors)
+    with graph.as_default():
+        tvars = tf.compat.v1.trainable_variables()
+        init = tf.compat.v1.global_variables_initializer()
+    sess = tf.compat.v1.Session(graph=graph)
+    sess.run(init)
+    tf_values = dict(zip([v.name for v in tvars], sess.run(tvars)))
+
+    # the feed the reference intended: runner_utils.py:79's drop_rate: 0.5
+    feed = {ref.video_inputs: batch["video_features"],
+            ref.video_seq_len: batch["video_seq_len"],
+            ref.word_ids: batch["word_ids"], ref.char_ids: batch["char_ids"],
+            ref.drop_rate: MC_RATE}
+    tf_s, tf_e = [], []
+    for _ in range(N_PASSES):
+        sl, el = sess.run([ref.start_logits, ref.end_logits], feed_dict=feed)
+        tf_s.append(sl)
+        tf_e.append(el)
+    sess.close()
+
+    # ---- ours, from the SAME weights --------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from hual_tpu.models.seqpan import SeqPAN
+    from hual_tpu.utils.tf1_port import tf_name_to_flax_path
+
+    model = SeqPAN(dim=DIM, num_heads=HEADS, attn_layer=LAYERS, max_vlen=T,
+                   word_dim=WORD_DIM, char_dim=CHAR_DIM, num_chars=CHARS,
+                   tau=0.3, use_gumbel=False)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    wv = jnp.asarray(word_vectors)
+    params0 = model.init({"params": jax.random.key(0)}, jbatch, wv, 0.0,
+                         deterministic=True)
+    flat = jax.tree_util.tree_flatten_with_path(params0["params"])
+    tf_by_path = {tf_name_to_flax_path(n): v for n, v in tf_values.items()}
+    rebuilt = [
+        jnp.asarray(tf_by_path[tuple(getattr(k, "key", str(k)) for k in p)])
+        for p, _ in flat[0]]
+    params = {"params": jax.tree_util.tree_unflatten(flat[1], rebuilt)}
+
+    @jax.jit
+    def stoch(p, key):
+        out = model.apply(p, jbatch, wv, MC_RATE, deterministic=False,
+                          rngs={"dropout": key})
+        return out["start_logits"], out["end_logits"]
+
+    ours_s, ours_e = [], []
+    base = jax.random.key(7)
+    for i in range(N_PASSES):
+        sl, el = stoch(params, jax.random.fold_in(base, i))
+        ours_s.append(np.asarray(sl))
+        ours_e.append(np.asarray(el))
+
+    vmask = np.arange(T)[None, :] < batch["video_seq_len"][:, None]
+    return {"tf_s": np.stack(tf_s), "tf_e": np.stack(tf_e),
+            "ours_s": np.stack(ours_s), "ours_e": np.stack(ours_e),
+            "batch": batch, "vmask": vmask}
+
+
+def _mean_z(a: np.ndarray, b: np.ndarray, vmask: np.ndarray) -> np.ndarray:
+    """|mean_a - mean_b| in pooled-stderr units, valid positions only."""
+    se = np.sqrt(a.std(0, ddof=1) ** 2 / N_PASSES
+                 + b.std(0, ddof=1) ** 2 / N_PASSES)
+    z = np.abs(a.mean(0) - b.mean(0)) / np.maximum(se, 1e-9)
+    return z[vmask]
+
+
+def _spearman(x: np.ndarray, y: np.ndarray) -> float:
+    rx = np.argsort(np.argsort(x)).astype(np.float64)
+    ry = np.argsort(np.argsort(y)).astype(np.float64)
+    return float(np.corrcoef(rx, ry)[0, 1])
+
+
+def test_passes_are_stochastic(mc_passes):
+    """Both frameworks' passes genuinely vary (the reference's SHIPPED eval,
+    which never sends the feed, would give std == 0 here)."""
+    for k in ("tf_s", "ours_s"):
+        s = mc_passes[k].std(0, ddof=1)[mc_passes["vmask"]]
+        assert np.median(s) > 0.1, k
+
+
+def test_mc_mean_agrees(mc_passes):
+    """Per-position pass-means agree within sampling error: the z-field looks
+    like noise (p99 < 4, max < 6 over ~1.5k positions; measured p99 was 2.8,
+    max 3.8), not like a shifted region from a misplaced dropout site."""
+    vmask = mc_passes["vmask"]
+    for name, a, b in (("start", mc_passes["tf_s"], mc_passes["ours_s"]),
+                       ("end", mc_passes["tf_e"], mc_passes["ours_e"])):
+        z = _mean_z(a, b, vmask)
+        assert np.percentile(z, 99) < 4.0, (name, np.percentile(z, 99))
+        assert z.max() < 6.0, (name, z.max())
+
+
+def test_mc_noise_scale_agrees(mc_passes):
+    """Per-sample pooled std over passes (the dropout-noise budget) matches:
+    ratio within [0.7, 1.4] for every video (measured [0.84, 1.21]).  A
+    missing or doubled dropout site shifts this by ~sqrt(2) or more."""
+    vmask = mc_passes["vmask"]
+    nvalid = vmask.sum(1)
+    for name, a, b in (("start", mc_passes["tf_s"], mc_passes["ours_s"]),
+                       ("end", mc_passes["tf_e"], mc_passes["ours_e"])):
+        pa = np.sqrt((a.std(0, ddof=1) ** 2 * vmask).sum(1) / nvalid)
+        pb = np.sqrt((b.std(0, ddof=1) ** 2 * vmask).sum(1) / nvalid)
+        ratio = pa / pb
+        assert ratio.min() > 0.7, (name, ratio.min())
+        assert ratio.max() < 1.4, (name, ratio.max())
+
+
+def test_mc_acquisition_ranking_agrees(mc_passes):
+    """The signal that drives every true-MC AL round: per-video uncert_model
+    sums from pass PAIRS (golden-pinned model_uncertainty_batch on both
+    frameworks' logits).  Rankings agree (Spearman >= 0.85; measured 0.97)
+    and magnitudes agree per video (median rel diff < 0.2; measured 0.07)."""
+    from hual_tpu.active.uncertainty import model_uncertainty_batch
+
+    vlens = mc_passes["batch"]["video_seq_len"]
+
+    def uncert_video(S, E):
+        uv = [model_uncertainty_batch(S[i], E[i], S[i + 1], E[i + 1],
+                                      vlens).sum(1)
+              for i in range(0, N_PASSES, 2)]
+        return np.mean(uv, axis=0)
+
+    uv_tf = uncert_video(mc_passes["tf_s"], mc_passes["tf_e"])
+    uv_ours = uncert_video(mc_passes["ours_s"], mc_passes["ours_e"])
+    assert _spearman(uv_tf, uv_ours) >= 0.85
+    rel = np.abs(uv_tf - uv_ours) / uv_tf
+    assert np.median(rel) < 0.2, np.median(rel)
+    assert rel.max() < 0.5, rel.max()
