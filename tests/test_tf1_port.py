@@ -174,3 +174,124 @@ def test_ported_tree_matches_flax_init_structure(saved_reference_ckpt,
     for a, b in zip(jax.tree_util.tree_leaves(restored),
                     jax.tree_util.tree_leaves(ported)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ported_checkpoint_serves(saved_reference_ckpt, tmp_path):
+    """Migration x serving COMPOSE: a reference TF1 Saver checkpoint, ported
+    (utils/tf1_port.py), exported as a serving bundle (serve.export_bundle)
+    and loaded back (Predictor.from_bundle), decodes the SAME spans on raw
+    requests as the reference graph restored from that very checkpoint.
+
+    This is the end-to-end path a reference user takes to deploy a trained
+    model on TPU without retraining (docs/MIGRATION.md): TF1 ckpt -> port ->
+    bundle -> fixed-shape compiled Predictor.
+    """
+    import types
+
+    import tensorflow as tf
+
+    from hual_tpu.config import (Config, LossConfig, ModelConfig, PathsConfig,
+                                 TrainConfig)
+    from hual_tpu.serve import Predictor, export_bundle
+    from hual_tpu.utils.metrics import index_to_time
+    from hual_tpu.utils.tf1_port import port_checkpoint
+
+    ckpt_dir, _, word_vectors = saved_reference_ckpt
+    ported, wv = port_checkpoint(ckpt_dir, str(tmp_path / "ported_serve"))
+    np.testing.assert_array_equal(wv, word_vectors)
+
+    # synthetic vocab at the graph's sizes: [PAD, UNK] + VOCAB-2 words whose
+    # GloVe rows are the checkpoint's frozen word table
+    corpus = [f"word{i}" for i in range(VOCAB - 2)]
+    word_dict = {w: i for i, w in enumerate(["<PAD>", "<UNK>"] + corpus)}
+    chars = list("abcdefghijklmnopqr")[:CHARS - 2]
+    char_dict = {c: i for i, c in enumerate(["<PAD>", "<UNK>"] + chars)}
+
+    config = Config(
+        task="charades", suffix="re0",
+        paths=PathsConfig(ckpt_dir="unused", cache_dir="unused",
+                          feature_path="unused", glove_path="unused",
+                          train_path="unused", test_path="unused"),
+        train=TrainConfig(epochs=1, batch_size=B),
+        model=ModelConfig(name="SeqPAN", max_vlen=T, max_tlen=W, vdim=32,
+                          dim=DIM, num_heads=HEADS, word_dim=WORD_DIM,
+                          char_dim=CHAR_DIM, attn_layer=LAYERS,
+                          num_chars=CHARS),
+        loss=LossConfig(no_gumbel=True, tau=0.3),
+    )
+    trainer = types.SimpleNamespace(
+        state=types.SimpleNamespace(params=ported),
+        dataset={"word_vector": wv, "word_dict": word_dict,
+                 "char_dict": char_dict},
+        config=config,
+        train_set=types.SimpleNamespace(max_wlen=W, max_clen=C),
+    )
+    bundle = export_bundle(trainer, str(tmp_path / "bundle"))
+    pred = Predictor.from_bundle(bundle, batch_size=B)
+
+    # raw requests: full-length, downsampled (>max_vlen) and short videos;
+    # queries mix known words and an OOV token (UNK on both sides)
+    rng = np.random.default_rng(11)
+    # request 0 fills max_wlen words: the reference's ragged graph computes at
+    # batch-max width, our compiled program at the static width — they agree
+    # exactly when the batch-max hits the static bound (same condition as in
+    # training, docs/PARITY.md "Fixed shapes"; kernel-7 convs over the word
+    # axis see pad columns, so narrower batches differ in float noise)
+    requests = [
+        (rng.normal(size=(T, 32)).astype(np.float32), 24.0,
+         "word0 word5 word11 word2 word8 word9"),
+        (rng.normal(size=(2 * T + 3, 32)).astype(np.float32), 31.5,
+         "word3 zzzunseen word7 word19"),
+        (rng.normal(size=(7, 32)).astype(np.float32), 12.0,
+         "word27 word1 word2 word4"),
+    ]
+    results = pred.predict_batch(requests)
+
+    # the reference graph, restored FROM THE SAME CHECKPOINT, on the same
+    # encoded inputs (Predictor's public encoders produce the feed)
+    tf.compat.v1.reset_default_graph()
+    from models.model import SeqPAN as RefSeqPAN  # noqa: E402
+
+    configs = types.SimpleNamespace(
+        num_chars=CHARS,
+        model=types.SimpleNamespace(vdim=32, dim=DIM, num_heads=HEADS,
+                                    attn_layer=LAYERS, max_vlen=T,
+                                    word_dim=WORD_DIM, char_dim=CHAR_DIM),
+        train=types.SimpleNamespace(batch_size=B, clip_norm=1.0,
+                                    droprate=0.2, lr=1e-4),
+        loss=types.SimpleNamespace(no_gumbel=True, tau=0.3, match_lambda=1.0),
+    )
+    graph = tf.Graph()
+    ref = RefSeqPAN(configs, graph, word_vectors=word_vectors)
+    with graph.as_default():
+        saver = tf.compat.v1.train.Saver()
+    sess = tf.compat.v1.Session(graph=graph)
+    saver.restore(sess, tf.train.latest_checkpoint(ckpt_dir))
+
+    n = len(requests)
+    vf = np.zeros((n, T, 32), np.float32)
+    vl = np.zeros((n,), np.int32)
+    wid = np.zeros((n, W), np.int32)
+    cid = np.zeros((n, W, C), np.int32)
+    for i, (feats, _, query) in enumerate(requests):
+        vf[i], vl[i] = pred.encode_video(feats)
+        wid[i], cid[i] = pred.encode_query(query)
+    assert wid[1, 1] == word_dict["<UNK>"], "OOV word should map to UNK"
+    # the reference's ragged loaders always feed batch-max-trimmed word ids
+    # (its trilinear attention hard-requires width == max(sum(q_mask)));
+    # our fixed-width padding is mask-correct so the outputs are comparable
+    wmax = int((wid != 0).sum(axis=1).max())
+    ref_si, ref_ei = sess.run(
+        [ref.start_index, ref.end_index],
+        feed_dict={ref.video_inputs: vf, ref.video_seq_len: vl,
+                   ref.word_ids: wid[:, :wmax], ref.char_ids: cid[:, :wmax]})
+    sess.close()
+
+    for i, r in enumerate(results):
+        assert r["start_index"] == int(ref_si[i]), i
+        assert r["end_index"] == int(ref_ei[i]), i
+        s_t, e_t = index_to_time(int(ref_si[i]), int(ref_ei[i]),
+                                 int(vl[i]), requests[i][1])
+        assert r["start_time"] == pytest.approx(s_t)
+        assert r["end_time"] == pytest.approx(e_t)
+        assert r["v_len"] == int(vl[i])
