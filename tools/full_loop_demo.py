@@ -75,17 +75,29 @@ def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
              mc_droprate: float = 0.0, feature_dtype: str = "float32",
              times: dict | None = None,
              summary_name: str = "full_loop_summary.json",
-             extra: dict | None = None) -> int:
+             extra: dict | None = None,
+             model_kwargs: dict | None = None,
+             train_kwargs: dict | None = None) -> int:
     """Run the complete HUAL loop (re0 train+infer, then `rounds` rounds of
     update -> train -> infer) over the dataset laid out under <root>/data.
-    Reused by full-scale synthetic (main) and real-records
-    (tools/real_records_loop.py) runs."""
+    Reused by full-scale synthetic (main), real-records
+    (tools/real_records_loop.py) and real-assets parity
+    (tools/real_assets_parity.py) runs.  ``model_kwargs``/``train_kwargs``
+    override individual ModelConfig/TrainConfig fields (the parity kit's
+    dry-run shrinks the model with them)."""
     times = {} if times is None else times
     t_all = time.time()
     os.chdir(root)
     from hual_tpu.config import (Config, LossConfig, ModelConfig, PathsConfig,
                                  TrainConfig)
 
+    train_cfg = dict(epochs=epochs, batch_size=16, lr=1e-4, droprate=0.2,
+                     clip_norm=1.0, mc_droprate=mc_droprate)
+    train_cfg.update(train_kwargs or {})
+    model_cfg = dict(max_vlen=max_vlen, max_tlen=30, vdim=1024, dim=128,
+                     num_heads=8, word_dim=300, char_dim=50, attn_layer=2,
+                     feature_dtype=feature_dtype)
+    model_cfg.update(model_kwargs or {})
     base = Config(
         task=task,
         paths=PathsConfig(
@@ -95,12 +107,8 @@ def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
             train_path=f"./data/{task}_gt/train.json",
             test_path=f"./data/{task}_gt/test.json",
         ),
-        train=TrainConfig(epochs=epochs, batch_size=16, lr=1e-4,
-                          droprate=0.2, clip_norm=1.0,
-                          mc_droprate=mc_droprate),
-        model=ModelConfig(max_vlen=max_vlen, max_tlen=30, vdim=1024,
-                          dim=128, num_heads=8, word_dim=300, char_dim=50,
-                          attn_layer=2, feature_dtype=feature_dtype),
+        train=TrainConfig(**train_cfg),
+        model=ModelConfig(**model_cfg),
         loss=LossConfig(),
     )
     os.makedirs(f"configs/{task}", exist_ok=True)

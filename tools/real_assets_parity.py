@@ -1,0 +1,300 @@
+#!/usr/bin/env python
+"""Real-assets quality-parity kit: push-button R@1 comparison vs the reference.
+
+The one BASELINE.md target this environment cannot verify is "R@1@IoU{0.5,0.7}
+within 0.3 points of the reference on fixed seeds" — it needs the real I3D
+features and GloVe embeddings, which are external downloads
+(/root/reference/README.md:11-16).  This tool makes that comparison
+push-button THE DAY the assets exist:
+
+    # 1. download the reference's assets (reference README):
+    #    - I3D features  (Box drive)     -> <features_dir>
+    #    - glove.840B.300d.txt           -> <glove_path>
+    #    - Charades-STA GT train spans   -> <gt_train.json>   (charades)
+    #    - anet re0 train labels         -> <re0_train.json>  (anet)
+    # 2. run the full reference-schedule loop and emit the delta table:
+    python tools/real_assets_parity.py --task charades \
+        --features /data/charades/i3d_v0 --glove /data/glove.840B.300d.txt \
+        --gt-train /data/charades_gt_train.json \
+        --reference-summary ref_numbers.json
+
+It stages the reference directory hierarchy (README "Directory hierarchies")
+under --root, symlinking the heavy assets, copying the mounted record JSONs,
+then runs the EXACT reference schedule (charades: 50 epochs x re0+3 rounds;
+anet: 100 epochs x re0+4 rounds; batch 16, lr 1e-4, droprate 0.2, seed 12345
+— configs/{task}/SeqPAN.yaml:11-18, run_charades.py:9, run_anet.py:9) via the
+same loop driver as every measured run (tools/full_loop_demo.run_loop).
+
+``--reference-summary`` is a JSON with the reference's numbers under the same
+protocol, produced by running the reference repo on the same assets/seed and
+transcribing its best-TEST lines (utils/runner_utils.py:172-176):
+
+    {"rounds": [{"round": 0, "r1i5": 45.1, "r1i7": 27.3},
+                {"round": 1, "r1i5": 46.0, "r1i7": 28.1}, ...]}
+
+Without it the table emits our numbers with status "pending-reference".
+
+``--dry-run`` proves the whole kit hermetically on synthetic assets (the
+generator used by every loop test) — staging, schedule, table emission —
+so asset day is a flag change, not a debugging session
+(tests/test_real_assets_parity.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DATA = "/root/reference/data"
+
+# the reference schedule (BASELINE.md; configs/{task}/SeqPAN.yaml:11-18,
+# run_charades.py:9, run_anet.py:9)
+SCHEDULE = {
+    "charades": dict(epochs=50, rounds=3, max_vlen=64),
+    "anet": dict(epochs=100, rounds=4, max_vlen=100),
+}
+
+
+def validate_assets(task: str, features: str, glove: str,
+                    data_root: str = REFERENCE_DATA,
+                    gt_train: str | None = None,
+                    re0_train: str | None = None) -> dict:
+    """Resolve + sanity-check every required asset; raise with an actionable
+    message naming the missing download otherwise."""
+    problems = []
+    resolved = {"features": features, "glove": glove}
+
+    if not os.path.isdir(features):
+        problems.append(f"--features {features}: not a directory "
+                        "(download the I3D features from the reference "
+                        "README's Box drive)")
+    else:
+        n_npy = sum(1 for f in os.listdir(features) if f.endswith(".npy"))
+        if n_npy == 0:
+            problems.append(f"--features {features}: contains no .npy files")
+        resolved["n_feature_files"] = n_npy
+
+    if not os.path.isfile(glove):
+        problems.append(f"--glove {glove}: not a file (download "
+                        "glove.840B.300d.txt, reference README)")
+    else:
+        with open(glove, encoding="utf-8", errors="ignore") as f:
+            first = f.readline().split()
+        try:
+            [float(x) for x in first[-4:]]
+            ok_line = len(first) > 4
+        except ValueError:
+            ok_line = False
+        if not ok_line:
+            problems.append(f"--glove {glove}: first line does not look like "
+                            "'<token> <floats...>'")
+
+    def _json(kind: str, override: str | None, default_rel: str,
+              hint: str) -> None:
+        path = override or os.path.join(data_root, default_rel)
+        if not os.path.isfile(path):
+            problems.append(f"{kind}: {path} missing ({hint})")
+        resolved[kind] = path
+
+    _json("gt_train", gt_train, f"{task}_gt/train.json",
+          "the mounted reference strips it; pass --gt-train with the GT "
+          "train spans" if task == "charades" else "reference data")
+    _json("gt_test", None, f"{task}_gt/test.json", "reference data")
+    _json("re0_train", re0_train, f"{task}_re0/train.json",
+          "the mounted reference strips it; pass --re0-train with the "
+          "initial pseudo labels" if task == "anet" else "reference data")
+    _json("re0_test", None, f"{task}_re0/test.json", "reference data")
+
+    if problems:
+        raise FileNotFoundError(
+            "real-assets parity cannot run; missing/invalid assets:\n  - "
+            + "\n  - ".join(problems))
+    return resolved
+
+
+def stage_root(root: str, task: str, resolved: dict) -> None:
+    """Lay out the reference directory hierarchy under ``root``: record JSONs
+    copied (rounds write siblings), features/GloVe symlinked (heavy)."""
+    data = os.path.join(root, "data")
+    for kind, rel in (("gt_train", f"{task}_gt/train.json"),
+                      ("gt_test", f"{task}_gt/test.json"),
+                      ("re0_train", f"{task}_re0/train.json"),
+                      ("re0_test", f"{task}_re0/test.json")):
+        dst = os.path.join(data, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not os.path.exists(dst):
+            shutil.copyfile(resolved[kind], dst)
+
+    feat_link = os.path.join(data, "features", f"{task}_i3d")
+    os.makedirs(os.path.dirname(feat_link), exist_ok=True)
+    if not os.path.exists(feat_link):
+        os.symlink(os.path.abspath(resolved["features"]), feat_link)
+    glove_link = os.path.join(data, "glove", "glove.840B.300d.txt")
+    os.makedirs(os.path.dirname(glove_link), exist_ok=True)
+    if not os.path.exists(glove_link):
+        os.symlink(os.path.abspath(resolved["glove"]), glove_link)
+
+
+def delta_table(summary: dict, reference_summary: dict | None,
+                bar: float = 0.3) -> dict:
+    """Per-round ours-vs-reference R@1@{0.5,0.7} deltas against ``bar``.
+
+    Returns {"rounds": [...], "bar": bar, "all_within_bar": bool|None,
+    "markdown": str}; all_within_bar is None while reference numbers are
+    pending.
+    """
+    ours = [{"round": 0, **{k: summary["re0_best"]["test_metrics"][k]
+                            for k in ("r1i5", "r1i7")}}]
+    ours += [{"round": r["round"], "r1i5": r["test"].get("r1i5"),
+              "r1i7": r["test"].get("r1i7")} for r in summary["rounds"]]
+    ref_by_round = {}
+    if reference_summary is not None:
+        ref_by_round = {int(r["round"]): r
+                        for r in reference_summary["rounds"]}
+
+    rows, verdicts = [], []
+    lines = ["| round | ours R1@0.5 | ref R1@0.5 | Δ0.5 | ours R1@0.7 | "
+             "ref R1@0.7 | Δ0.7 | within ±%.1f |" % bar,
+             "|---|---|---|---|---|---|---|---|"]
+    for o in ours:
+        ref = ref_by_round.get(o["round"])
+        row = {"round": o["round"], "ours_r1i5": o["r1i5"],
+               "ours_r1i7": o["r1i7"]}
+        if ref is None:
+            row.update(ref_r1i5=None, ref_r1i7=None, delta_r1i5=None,
+                       delta_r1i7=None, within_bar=None)
+            lines.append("| re%d | %.2f | — | — | %.2f | — | — | pending |"
+                         % (o["round"], o["r1i5"], o["r1i7"]))
+        else:
+            d5 = o["r1i5"] - float(ref["r1i5"])
+            d7 = o["r1i7"] - float(ref["r1i7"])
+            # epsilon so a delta of exactly the bar is not a float coin-flip
+            within = abs(d5) <= bar + 1e-9 and abs(d7) <= bar + 1e-9
+            verdicts.append(within)
+            row.update(ref_r1i5=float(ref["r1i5"]), ref_r1i7=float(ref["r1i7"]),
+                       delta_r1i5=round(d5, 3), delta_r1i7=round(d7, 3),
+                       within_bar=within)
+            lines.append(
+                "| re%d | %.2f | %.2f | %+.2f | %.2f | %.2f | %+.2f | %s |"
+                % (o["round"], o["r1i5"], row["ref_r1i5"], d5, o["r1i7"],
+                   row["ref_r1i7"], d7, "yes" if within else "NO"))
+        rows.append(row)
+    return {"rounds": rows, "bar": bar, "markdown": "\n".join(lines),
+            "all_within_bar": (all(verdicts) if len(verdicts) == len(ours)
+                               else None)}
+
+
+def run_kit(root: str, task: str, resolved: dict, epochs: int, rounds: int,
+            max_vlen: int, reference_summary: dict | None, bar: float,
+            out: str, mc_droprate: float = 0.0,
+            feature_dtype: str = "float32",
+            model_kwargs: dict | None = None,
+            train_kwargs: dict | None = None, dry_run: bool = False) -> dict:
+    from full_loop_demo import run_loop  # noqa: E402
+
+    stage_root(root, task, resolved)
+    summary_name = "real_assets_loop_summary.json"
+    run_loop(root, task, epochs=epochs, rounds=rounds, max_vlen=max_vlen,
+             mc_droprate=mc_droprate, feature_dtype=feature_dtype,
+             summary_name=summary_name, model_kwargs=model_kwargs,
+             train_kwargs=train_kwargs,
+             extra={"assets": {k: str(v) for k, v in resolved.items()},
+                    "dry_run": dry_run})
+    with open(os.path.join(root, summary_name)) as f:
+        summary = json.load(f)
+
+    table = delta_table(summary, reference_summary, bar=bar)
+    report = {"task": task, "schedule": {"epochs": epochs, "rounds": rounds},
+              "dry_run": dry_run, "table": table, "loop_summary": summary}
+    print(table["markdown"])
+    status = {True: "PARITY: all rounds within the bar",
+              False: "PARITY FAILED: some round exceeds the bar",
+              None: "reference numbers pending (--reference-summary)"}
+    print(status[table["all_within_bar"]])
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1, default=float)
+    print(f"report -> {out}")
+    return report
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(
+        description=__doc__.splitlines()[1], epilog="see module docstring")
+    p.add_argument("--task", default="charades", choices=list(SCHEDULE))
+    p.add_argument("--features", help="I3D feature directory (.npy per video)")
+    p.add_argument("--glove", help="glove.840B.300d.txt path")
+    p.add_argument("--gt-train", default=None,
+                   help="GT train.json override (charades: required — the "
+                        "mount strips it)")
+    p.add_argument("--re0-train", default=None,
+                   help="re0 train.json override (anet: required — the "
+                        "mount strips it)")
+    p.add_argument("--data-root", default=REFERENCE_DATA)
+    p.add_argument("--root", default="/tmp/hual_real_assets")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--rounds", type=int, default=None)
+    p.add_argument("--mc-droprate", type=float, default=0.0)
+    p.add_argument("--feature-dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--reference-summary", default=None,
+                   help="JSON with the reference's numbers (module docstring "
+                        "schema); omit to emit ours with status pending")
+    p.add_argument("--bar", type=float, default=0.3,
+                   help="parity bar in R@1 points (BASELINE.md)")
+    p.add_argument("--out", default=None,
+                   help="report path (default results/real_assets_parity_"
+                        "<task>.json under the repo)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="hermetic end-to-end check on synthetic assets")
+    a = p.parse_args()
+
+    sched = SCHEDULE[a.task]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.abspath(a.out or os.path.join(
+        repo, "results", f"real_assets_parity_{a.task}.json"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    ref_summary = None
+    if a.reference_summary:
+        with open(a.reference_summary) as f:
+            ref_summary = json.load(f)
+
+    if a.dry_run:
+        from make_synthetic_data import make_dataset  # noqa: E402
+
+        synth = os.path.join(a.root, "synthetic_assets")
+        if not os.path.exists(os.path.join(synth, "data", f"{a.task}_re0")):
+            make_dataset(synth, task=a.task, n_train=48, n_test=16, vdim=16,
+                         max_raw_len=24, seed=11)
+        sd = os.path.join(synth, "data")
+        resolved = validate_assets(
+            a.task, features=os.path.join(sd, "features", f"{a.task}_i3d"),
+            glove=os.path.join(sd, "glove", "glove.840B.300d.txt"),
+            data_root=sd)
+        run_kit(os.path.join(a.root, "staged"), a.task, resolved,
+                epochs=a.epochs or 2, rounds=a.rounds or 1, max_vlen=16,
+                reference_summary=ref_summary, bar=a.bar, out=out,
+                model_kwargs=dict(vdim=16, dim=16, num_heads=2, attn_layer=1,
+                                  char_dim=8, max_tlen=10),
+                train_kwargs=dict(batch_size=16), dry_run=True)
+        return 0
+
+    if not a.features or not a.glove:
+        p.error("--features and --glove are required (or use --dry-run)")
+    resolved = validate_assets(a.task, a.features, a.glove,
+                               data_root=a.data_root, gt_train=a.gt_train,
+                               re0_train=a.re0_train)
+    run_kit(a.root, a.task, resolved, epochs=a.epochs or sched["epochs"],
+            rounds=a.rounds or sched["rounds"], max_vlen=sched["max_vlen"],
+            reference_summary=ref_summary, bar=a.bar, out=out,
+            mc_droprate=a.mc_droprate, feature_dtype=a.feature_dtype)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
