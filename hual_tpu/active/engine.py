@@ -138,6 +138,9 @@ def renew_dataset(data_old: list, data_gt: list, last_prop: list,
     ranking = rank_uncertainty(data_old, data_gt, last_prop, coff)
     rng = np.random.default_rng(seed) if point_strategy == "random" else None
     iou_pos, iou_neg = [], []
+    iou_before, iou_after = [], []
+    iou_before_pos, iou_before_neg = [], []
+    selected_idx = []
     if selection == "half":
         n_select = int(np.ceil(len(ranking) / 2))
     elif selection == "all":
@@ -157,11 +160,31 @@ def renew_dataset(data_old: list, data_gt: list, last_prop: list,
         data_old[idx][4] = new_ap
         iou = calculate_iou(new_idx, record["gt_idx"])
         (iou_pos if new_ap["pos_idx"] else iou_neg).append(iou)
+        selected_idx.append(idx)
+        before = calculate_iou(record["old_idx"], record["gt_idx"])
+        iou_before.append(before)
+        iou_after.append(iou)
+        (iou_before_pos if new_ap["pos_idx"]
+         else iou_before_neg).append(before)
+    # round diagnostics (index-granularity, AL convention): did renewal help
+    # the records it touched?  n_pos/n_neg split by whether the expert's
+    # answer left any positive point (reference reports only the final mIoU).
+    iou_before = np.asarray(iou_before)
+    iou_after = np.asarray(iou_after)
     stats = {
         "n_selected": n_select,
         "n_pos": len(iou_pos), "n_neg": len(iou_neg),
         "miou_pos_idx": float(np.mean(iou_pos)) if iou_pos else 0.0,
         "miou_neg_idx": float(np.mean(iou_neg)) if iou_neg else 0.0,
+        "miou_pos_idx_before": (float(np.mean(iou_before_pos))
+                                if iou_before_pos else 0.0),
+        "miou_neg_idx_before": (float(np.mean(iou_before_neg))
+                                if iou_before_neg else 0.0),
+        "selected_idx": selected_idx,
+        "miou_selected_before": (float(iou_before.mean()) if n_select else 0.0),
+        "miou_selected_after": (float(iou_after.mean()) if n_select else 0.0),
+        "n_improved": int(np.sum(iou_after > iou_before + 1e-9)),
+        "n_worsened": int(np.sum(iou_after < iou_before - 1e-9)),
     }
     return data_old, stats
 
@@ -197,7 +220,20 @@ def update_labels(task: str, round_idx: int, data_root: str = "./data",
                 os.path.join(os.path.dirname(new_path), "test.json"))
 
     new_miou = miou_two_record_lists(data_gt, data_new)
-    stats.update(old_miou=old_miou, new_miou=new_miou,
-                 old_path=old_path, new_path=new_path)
+    # pseudo-mIoU split by this round's annotated-vs-untouched records
+    # (time-granularity, same convention as old/new_miou) — attributes a
+    # round's mIoU move to the renewal itself vs the untouched majority
+    sel = set(stats["selected_idx"])
+    annotated = [i for i in range(len(data_new)) if i in sel]
+    untouched = [i for i in range(len(data_new)) if i not in sel]
+    stats.update(
+        old_miou=old_miou, new_miou=new_miou,
+        new_miou_annotated=(miou_two_record_lists(
+            [data_gt[i] for i in annotated], [data_new[i] for i in annotated])
+            if annotated else 0.0),
+        new_miou_untouched=(miou_two_record_lists(
+            [data_gt[i] for i in untouched], [data_new[i] for i in untouched])
+            if untouched else 0.0),
+        old_path=old_path, new_path=new_path)
     print(f"mIoU[GT, pseudo]:\n{old_miou:.4f} -> {new_miou:.4f}")
     return stats

@@ -101,6 +101,18 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
                           seed=strategy_seed)
     logger.info(f"pseudo-label mIoU {stats['old_miou']:.4f} -> "
                 f"{stats['new_miou']:.4f}")
+    # selection-overlap diagnostic: which fraction of this round's annotated
+    # half was also annotated last round (sticky selection re-asks the same
+    # videos; churny selection spreads the budget). history keeps only the
+    # fraction — the raw 10k+-element index list would bloat every summary.
+    selected = stats.pop("selected_idx", None)
+    if selected is not None:
+        selected = set(selected)
+        prev = shared.get("prev_selected_idx")
+        if prev is not None and selected:
+            stats["selection_overlap_prev"] = round(
+                len(selected & prev) / len(selected), 4)
+        shared["prev_selected_idx"] = selected
 
     cfg = base.derive_round(round_idx)
     # persist the derived config next to the base one (reference

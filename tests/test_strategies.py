@@ -77,3 +77,21 @@ def test_renew_dataset_half_selection_default():
     annotated = sum(1 for r in new
                     if r[4]["pos_idx"] or r[4]["neg_idx"])
     assert annotated == 5
+
+
+def test_renew_dataset_diagnostics():
+    """Round diagnostics: selected indices match the annotated records;
+    before/after mIoU and the improved/worsened split are self-consistent."""
+    data_old, data_gt, props = _tiny_round_inputs()
+    coff = get_coff(F_RENEW, "charades", 1)
+    new, stats = renew_dataset(data_old, data_gt, props, coff)
+
+    annotated_idx = {i for i, r in enumerate(new)
+                     if r[4]["pos_idx"] or r[4]["neg_idx"]}
+    assert set(stats["selected_idx"]) == annotated_idx
+    assert len(stats["selected_idx"]) == stats["n_selected"] == 5
+    assert stats["n_pos"] + stats["n_neg"] == stats["n_selected"]
+    # every old span here is [4,13] vs gt [5,12]: identical before-IoU
+    assert 0.0 < stats["miou_selected_before"] <= 1.0
+    assert 0.0 <= stats["miou_selected_after"] <= 1.0
+    assert stats["n_improved"] + stats["n_worsened"] <= stats["n_selected"]

@@ -164,6 +164,16 @@ def test_active_learning_round(trained):
     assert os.path.exists(os.path.join(workdir, "data", "charades_re1",
                                        "test.json"))
     assert 0.0 <= stats["new_miou"] <= 1.0
+    # annotated/untouched mIoU split is consistent with the overall mIoU
+    # (diagnostics for the anet round-1 dip analysis)
+    n_sel = stats["n_selected"]
+    n_unt = len(new_train) - n_sel
+    blended = (stats["new_miou_annotated"] * n_sel
+               + stats["new_miou_untouched"] * n_unt) / len(new_train)
+    assert abs(blended - stats["new_miou"]) < 1e-9
+    assert set(stats["selected_idx"]) == {
+        i for i, r in enumerate(new_train)
+        if r[4]["pos_idx"] or r[4]["neg_idx"]}
 
 
 def test_round1_retrains_from_updated_labels(trained):

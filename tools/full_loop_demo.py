@@ -152,7 +152,22 @@ def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
             {"round": h["round"],
              "pseudo_miou": h["label_stats"]["new_miou"],
              "best_r1i7": h["best"].get("r1i7"),
-             "test": h["best"].get("test_metrics")}
+             "test": h["best"].get("test_metrics"),
+             # AL-selection diagnostics (engine.renew_dataset/update_labels):
+             # annotated-vs-untouched mIoU split, renewal before/after,
+             # pos/neg answers, overlap with the previous round's selection
+             "diagnostics": {k: h["label_stats"][k]
+                             for k in ("n_selected", "n_pos", "n_neg",
+                                       "new_miou_annotated",
+                                       "new_miou_untouched",
+                                       "miou_selected_before",
+                                       "miou_selected_after",
+                                       "miou_pos_idx", "miou_neg_idx",
+                                       "miou_pos_idx_before",
+                                       "miou_neg_idx_before",
+                                       "n_improved", "n_worsened",
+                                       "selection_overlap_prev")
+                             if k in h["label_stats"]}}
             for h in history
         ],
     }

@@ -13,8 +13,11 @@ from each task):
   charades: REAL re0 train (12,403 pseudo spans, data/charades_re0/train.json)
             REAL test (3,720, data/charades_{re0,gt}/test.json)
             SYNTH oracle GT train: charades_gt/train.json is stripped from
-            the mount, so the oracle's GT span is synthesized around the re0
-            span's center (the inverse of the glance->window recipe below).
+            the mount; the oracle's GT span is synthesized by EXACTLY
+            inverting the glance premise — re0 center = the glance, GT
+            placed so the glance sits at a uniform relative position
+            within it (build_charades) — so the oracle can contradict
+            the initial label's center.
   anet:     REAL GT train (33,721, data/anet_gt/train.json) + test (17,031)
             SYNTH re0 pseudo spans: anet_re0/train.json is stripped; round-0
             spans are built with the reference's own glance recipe
@@ -70,17 +73,37 @@ def _four(records):
     return [r[:4] for r in records]
 
 
-def build_charades(root: str, rng: np.random.Generator):
-    re0_train = _four(_load(f"{REFERENCE}/data/charades_re0/train.json"))
+def _subsample(records: list, n: int | None, rng: np.random.Generator) -> list:
+    """Seeded order-preserving subsample (diagnosis runs on a subset)."""
+    if n is None or n >= len(records):
+        return records
+    keep = np.sort(rng.choice(len(records), size=n, replace=False))
+    return [records[i] for i in keep]
+
+
+def build_charades(root: str, rng: np.random.Generator,
+                   n_train: int | None = None):
+    re0_train = _subsample(
+        _four(_load(f"{REFERENCE}/data/charades_re0/train.json")), n_train, rng)
     test = _four(_load(f"{REFERENCE}/data/charades_re0/test.json"))
     gt_test = _four(_load(f"{REFERENCE}/data/charades_gt/test.json"))
-    # synthetic oracle GT: glance = re0 center; GT = glance +- U(0.1,0.3)*dur
-    # each side, clipped — the inverse of the viga glance->window recipe
+    # Synthetic oracle GT — the EXACT inverse of the glance-supervision
+    # premise (the viga recipe samples the glance uniformly WITHIN GT,
+    # scripts/viga_extend_label.py + anet_viga glances): treat the re0
+    # center c as the glance and place GT = [c - u*w, c + (1-u)*w] with
+    # u ~ U(0,1), w ~ U(0.2,0.6)*dur (same width range as the old recipe's
+    # U(0.1,0.3)-per-side), clipped.  The glance stays inside GT, but GT's
+    # center sits at a UNIFORM relative offset from c — so the simulated
+    # expert CAN contradict the initial pseudo label's center (round-3
+    # VERDICT weak #1: the old recipe pinned GT around c, making
+    # "pseudo-mIoU improves every round" partly measure the construction).
     gt_train = []
     for vid, dur, (s, e), sent in re0_train:
-        g = 0.5 * (s + e)
-        lo = float(np.clip(g - rng.uniform(0.1, 0.3) * dur, 0, dur))
-        hi = float(np.clip(g + rng.uniform(0.1, 0.3) * dur, 0, dur))
+        c = 0.5 * (s + e)
+        w = rng.uniform(0.2, 0.6) * dur
+        u = rng.uniform(0.0, 1.0)
+        lo = float(np.clip(c - u * w, 0, dur))
+        hi = float(np.clip(c + (1.0 - u) * w, 0, dur))
         if hi <= lo:
             lo, hi = max(0.0, hi - 0.05 * dur), min(dur, lo + 0.05 * dur)
         gt_train.append([vid, dur, [round(lo, 2), round(hi, 2)], sent])
@@ -91,8 +114,10 @@ def build_charades(root: str, rng: np.random.Generator):
     return gt_train, re0_train, test
 
 
-def build_anet(root: str, rng: np.random.Generator):
-    gt_train = _four(_load(f"{REFERENCE}/data/anet_gt/train.json"))
+def build_anet(root: str, rng: np.random.Generator,
+               n_train: int | None = None):
+    gt_train = _subsample(
+        _four(_load(f"{REFERENCE}/data/anet_gt/train.json")), n_train, rng)
     gt_test = _four(_load(f"{REFERENCE}/data/anet_gt/test.json"))
     # synthetic re0 via the reference's own glance->window recipe
     # (scripts/viga_extend_label.py): t ~ U[s,e], window +-0.2*duration
@@ -170,6 +195,9 @@ def main() -> int:
     ap.add_argument("--mc-droprate", type=float, default=0.5,
                     help="true-MC uncertainty by default — the real-records "
                          "loop is quality evidence, not a parity replay")
+    ap.add_argument("--n-train", type=int, default=None,
+                    help="seeded subsample of the train records "
+                         "(diagnosis runs, e.g. the anet 10k subset)")
     ap.add_argument("--feature-dtype", default="bfloat16",
                     choices=["float32", "bfloat16", "int8"])
     a = ap.parse_args()
@@ -183,9 +211,9 @@ def main() -> int:
     rng = np.random.default_rng(20260817)
     if not os.path.exists(os.path.join(root, "data", f"{a.task}_re0")):
         if a.task == "charades":
-            gt_train, re0_train, test = build_charades(root, rng)
+            gt_train, re0_train, test = build_charades(root, rng, a.n_train)
         else:
-            gt_train, re0_train, test = build_anet(root, rng)
+            gt_train, re0_train, test = build_anet(root, rng, a.n_train)
         n_videos = build_features(root, a.task, gt_train, test,
                                   d["max_vlen"], rng)
         n_vocab = build_glove(root, gt_train + test, rng)
@@ -198,13 +226,17 @@ def main() -> int:
 
     extra = {
         "records": "REAL reference JSONs (durations, sentences, spans)",
-        "synthesized": ("charades_gt/train.json (oracle GT around re0 "
-                        "centers; stripped from mount)" if a.task == "charades"
+        "synthesized": ("charades_gt/train.json (oracle GT via the exact "
+                        "glance-inverse: re0 center at a uniform relative "
+                        "position within GT; stripped from mount)"
+                        if a.task == "charades"
                         else "anet_re0/train.json (glance->window recipe, "
                              "scripts/viga_extend_label.py; stripped from "
                              "mount)"),
         "features": "synthetic, sentence-keyed signal planted in GT spans",
     }
+    if a.n_train:
+        extra["n_train_subset"] = a.n_train
     rc = run_loop(root, a.task, epochs=epochs, rounds=rounds,
                   max_vlen=d["max_vlen"], mc_droprate=a.mc_droprate,
                   feature_dtype=a.feature_dtype, times=times,
@@ -212,8 +244,9 @@ def main() -> int:
     # copy the summary into the repo's results/
     src = os.path.join(root, "real_records_summary.json")
     if os.path.exists(src):
+        sub = f"_{a.n_train}" if a.n_train else ""
         dst = os.path.join(REPO, "results",
-                           f"real_records_{a.task}_summary.json")
+                           f"real_records_{a.task}{sub}_summary.json")
         with open(src) as f, open(dst, "w") as g:
             g.write(f.read())
         print(f"copied summary -> {dst}")
