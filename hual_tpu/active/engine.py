@@ -121,7 +121,7 @@ def choose_observation_point(record: dict, strategy: str,
 def renew_dataset(data_old: list, data_gt: list, last_prop: list,
                   coff: RoundCoeffs, selection: str = "half",
                   point_strategy: str = "uncertainty",
-                  seed: int = 12345) -> tuple[list, dict]:
+                  seed: int | list = 12345) -> tuple[list, dict]:
     """One full label-update pass; mutates and returns data_old
     (reference update_label.py main, :173-208).
 
@@ -208,9 +208,15 @@ def update_labels(task: str, round_idx: int, data_root: str = "./data",
     last_prop = load_pickle(prop_path)
 
     old_miou = miou_two_record_lists(data_gt, data_old)
+    # fold the round index into the 'random' strategy's seed: with the
+    # shipped mc_droprate=0.0 the ranking is dataset-order-stable, and a
+    # constant per-round seed would replay the SAME frame draw every round
+    # (duplicate points, no new oracle information — the shipped random
+    # ablation data carries k distinct points at round k)
     data_new, stats = renew_dataset(data_old, data_gt, last_prop, coff,
                                     selection=selection,
-                                    point_strategy=point_strategy, seed=seed)
+                                    point_strategy=point_strategy,
+                                    seed=[seed, round_idx])
 
     os.makedirs(os.path.dirname(new_path), exist_ok=True)
     save_json(data_new, new_path)

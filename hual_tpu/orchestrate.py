@@ -112,7 +112,9 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
         if prev is not None and selected:
             stats["selection_overlap_prev"] = round(
                 len(selected & prev) / len(selected), 4)
-        shared["prev_selected_idx"] = selected
+        # committed to `shared` only at the END of the round: if training
+        # crashes and the round retries, the retry must still compare its
+        # selection against round I-1's, not against its own first attempt
 
     cfg = base.derive_round(round_idx)
     # persist the derived config next to the base one (reference
@@ -147,6 +149,8 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
                     "best": {k: v for k, v in best.items()
                              if not k.endswith("_line")},
                     "infer": infer_metrics})
+    if selected is not None:
+        shared["prev_selected_idx"] = selected
 
 
 def main(argv=None) -> int:

@@ -177,6 +177,64 @@ def test_run_rounds_retry_on_transient_failure(tmp_path, monkeypatch):
     assert len(history) == 1 and calls["n"] == 2
 
 
+def test_retry_keeps_selection_overlap_vs_previous_round(monkeypatch, tmp_path):
+    """A failed-then-retried round must compute selection_overlap_prev against
+    round I-1's selection, not against its own first attempt (the first
+    attempt must not commit shared['prev_selected_idx'])."""
+    import hual_tpu.orchestrate as orch
+    from hual_tpu.config import Config
+
+    class FakeTrainer:
+        fail_next = False
+
+        def __init__(self):
+            self.features = None
+            self.dataset = None
+
+        def init_state(self):
+            pass
+
+        def train(self):
+            if FakeTrainer.fail_next:
+                FakeTrainer.fail_next = False
+                raise RuntimeError("transient device error")
+            return {"r1i7": 1.0}
+
+        def restore(self):
+            pass
+
+        def infer_trainset(self, save_path=None):
+            return {"miou": 1.0}
+
+    selections = {1: [0, 1, 2], 2: [0, 1, 5]}
+
+    def fake_update_labels(task, round_idx, data_root=".", results_root=".",
+                           **kw):
+        return {"old_miou": 0.5, "new_miou": 0.6,
+                "selected_idx": list(selections[round_idx])}
+
+    monkeypatch.setattr("hual_tpu.cli.build_trainer",
+                        lambda cfg, **kw: FakeTrainer())
+    monkeypatch.setattr(orch, "update_labels", fake_update_labels)
+
+    base = Config()
+    logger = __import__("logging").getLogger("t")
+    shared: dict = {}
+    history: list = []
+    args = ("charades", base, str(tmp_path / "c.yaml"), ".", ".", logger,
+            history, shared)
+
+    orch._run_one_round(args[0], 1, *args[1:])
+    # round 2: first attempt fails after update_labels, retry succeeds
+    FakeTrainer.fail_next = True
+    with pytest.raises(RuntimeError):
+        orch._run_one_round(args[0], 2, *args[1:])
+    orch._run_one_round(args[0], 2, *args[1:])
+    # overlap({0,1,5}, {0,1,2}) / 3 = 2/3 — NOT 1.0 vs its own first attempt
+    assert history[-1]["label_stats"]["selection_overlap_prev"] == \
+        pytest.approx(2 / 3, abs=1e-4)
+
+
 def test_summary_script(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(str(tmp_path))
     os.makedirs("results/charades")

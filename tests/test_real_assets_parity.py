@@ -110,6 +110,67 @@ def test_delta_table_math():
     assert t["all_within_bar"] is None
 
 
+def test_delta_table_tolerates_missing_own_metrics():
+    """A best record can legitimately carry empty test_metrics (trainer.py
+    keeps {} when a resumed run never beats the persisted threshold): the
+    report must render that round as pending, not crash after a multi-hour
+    loop."""
+    ref = {"rounds": [{"round": 0, "r1i5": 45.2, "r1i7": 27.1},
+                      {"round": 1, "r1i5": 45.8, "r1i7": 28.3},
+                      {"round": 2, "r1i5": 47.0, "r1i7": 29.0}]}
+    s = _fake_summary()
+    s["re0_best"]["test_metrics"] = {}
+    t = delta_table(s, ref, bar=0.3)
+    assert t["rounds"][0]["within_bar"] is None
+    assert t["rounds"][0]["ours_r1i5"] is None
+    assert t["all_within_bar"] is None  # no verdict while a round is pending
+    assert "pending" in t["markdown"]
+    # rounds with metrics still get their deltas
+    assert t["rounds"][1]["delta_r1i7"] == pytest.approx(-0.3)
+    # None test metrics inside a round row, same story
+    s = _fake_summary()
+    s["rounds"][1]["test"] = {}
+    t = delta_table(s, ref, bar=0.3)
+    assert t["rounds"][2]["within_bar"] is None
+    assert t["all_within_bar"] is None
+
+
+def test_stage_root_repoints_changed_assets(synth_assets, tmp_path):
+    """Re-staging with different asset flags must re-point the symlinks and
+    refresh the copied JSONs (and survive a dangling link) instead of
+    silently reusing the previous staging."""
+    import shutil
+
+    feats = os.path.join(synth_assets, "features", "charades_i3d")
+    glove = os.path.join(synth_assets, "glove", "glove.840B.300d.txt")
+    resolved = validate_assets("charades", feats, glove,
+                               data_root=synth_assets)
+    root = str(tmp_path / "staged")
+    stage_root(root, "charades", resolved)
+
+    # second asset location (e.g. a corrected download)
+    glove2 = str(tmp_path / "glove2.txt")
+    shutil.copyfile(glove, glove2)
+    resolved2 = dict(resolved, glove=glove2)
+    stage_root(root, "charades", resolved2)
+    link = os.path.join(root, "data", "glove", "glove.840B.300d.txt")
+    assert os.readlink(link) == os.path.abspath(glove2)
+
+    # dangling link (asset moved away): re-staging repairs it
+    os.remove(link)
+    os.symlink(str(tmp_path / "gone.txt"), link)
+    stage_root(root, "charades", resolved)
+    assert os.readlink(link) == os.path.abspath(glove)
+
+    # changed record JSON is re-copied, not kept stale
+    gt2 = str(tmp_path / "gt_train2.json")
+    with open(gt2, "w") as f:
+        f.write("[]")
+    stage_root(root, "charades", dict(resolved, gt_train=gt2))
+    with open(os.path.join(root, "data", "charades_gt", "train.json")) as f:
+        assert f.read() == "[]"
+
+
 def test_dry_run_end_to_end(synth_assets, tmp_path, monkeypatch):
     """The full kit on synthetic assets: stage, run the loop (2 epochs x
     re0+1 round, dim-16 model), emit the report with the table schema."""

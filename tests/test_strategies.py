@@ -79,6 +79,55 @@ def test_renew_dataset_half_selection_default():
     assert annotated == 5
 
 
+def test_random_strategy_draws_fresh_points_each_round(tmp_path):
+    """File-level regression: under the shipped mc_droprate=0.0 the two MC
+    passes are identical, uncertainty is 0 everywhere, and the ranking keeps
+    dataset order — a constant per-round seed would then replay the SAME
+    random frame for every record each round (duplicate points, no new
+    oracle information).  update_labels must fold the round index into the
+    'random' strategy's seed."""
+    import os
+
+    from hual_tpu.active.engine import update_labels
+    from hual_tpu.utils.io import load_json, save_json, save_pickle
+
+    n, T = 12, 16
+    rng = np.random.default_rng(9)
+    data_root, results_root = str(tmp_path / "data"), str(tmp_path / "results")
+    recs, preds = [], []
+    for i in range(n):
+        vid, dur = f"v{i}", 20.0
+        recs.append([vid, dur, [4.0, 13.0], "q"])
+        logits = [rng.normal(size=T).astype(np.float32),
+                  rng.normal(size=T).astype(np.float32)]
+        mc = [rng.normal(size=T).astype(np.float32),
+              rng.normal(size=T).astype(np.float32)]
+        preds.append({"vid": vid, "duration": dur, "psuedo_idx": [1, 5],
+                      "sentence": "q", "v_len": T, "prop_idx": [2, 6],
+                      "prop_logits": logits,
+                      # identical passes == mc_droprate 0.0: uncertainty 0
+                      "prop_logits1": mc, "prop_logits2": mc,
+                      "m_score": rng.uniform(size=(T, 4)).astype(np.float32)})
+    for sub in ("charades_re0", "charades_gt"):
+        os.makedirs(os.path.join(data_root, sub))
+        save_json(recs, os.path.join(data_root, sub, "train.json"))
+        save_json(recs[:2], os.path.join(data_root, sub, "test.json"))
+
+    for rnd in (1, 2):
+        save_pickle(preds, os.path.join(results_root, "charades",
+                                        f"re{rnd - 1}.pkl"))
+        update_labels("charades", rnd, data_root=data_root,
+                      results_root=results_root, selection="all",
+                      point_strategy="random")
+
+    r2 = load_json(os.path.join(data_root, "charades_re2", "train.json"))
+    points = [r[4]["pos_idx"] + r[4]["neg_idx"] for r in r2]
+    assert all(len(p) == 2 for p in points)
+    # fresh per-round draws: the two points differ for some records
+    # (P[all 12 collide] = 16^-12 under fresh draws; 1.0 under the bug)
+    assert any(len(set(p)) == 2 for p in points)
+
+
 def test_renew_dataset_diagnostics():
     """Round diagnostics: selected indices match the annotated records;
     before/after mIoU and the improved/worsened split are self-consistent."""

@@ -51,14 +51,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from full_loop_demo import TASK_DEFAULTS  # noqa: E402
+
 REFERENCE_DATA = "/root/reference/data"
 
 # the reference schedule (BASELINE.md; configs/{task}/SeqPAN.yaml:11-18,
-# run_charades.py:9, run_anet.py:9)
-SCHEDULE = {
-    "charades": dict(epochs=50, rounds=3, max_vlen=64),
-    "anet": dict(epochs=100, rounds=4, max_vlen=100),
-}
+# run_charades.py:9, run_anet.py:9) — single-sourced from the loop driver
+# this kit runs, so the two can never desynchronize
+SCHEDULE = {t: {k: d[k] for k in ("epochs", "rounds", "max_vlen")}
+            for t, d in TASK_DEFAULTS.items()}
 
 
 def validate_assets(task: str, features: str, glove: str,
@@ -118,9 +119,23 @@ def validate_assets(task: str, features: str, glove: str,
     return resolved
 
 
+def _ensure_link(link: str, target: str) -> None:
+    """Symlink ``link`` -> ``target``, replacing a stale/dangling link (a
+    plain os.path.exists guard follows a broken symlink and then crashes on
+    os.symlink; a changed --features/--glove must re-point, not be ignored)."""
+    target = os.path.abspath(target)
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == target:
+            return
+        os.remove(link)
+    os.symlink(target, link)
+
+
 def stage_root(root: str, task: str, resolved: dict) -> None:
     """Lay out the reference directory hierarchy under ``root``: record JSONs
-    copied (rounds write siblings), features/GloVe symlinked (heavy)."""
+    copied (rounds write siblings), features/GloVe symlinked (heavy).
+    Re-staging always refreshes the copies/links so a rerun with different
+    asset flags can never silently reuse the previous staging."""
     data = os.path.join(root, "data")
     for kind, rel in (("gt_train", f"{task}_gt/train.json"),
                       ("gt_test", f"{task}_gt/test.json"),
@@ -128,17 +143,15 @@ def stage_root(root: str, task: str, resolved: dict) -> None:
                       ("re0_test", f"{task}_re0/test.json")):
         dst = os.path.join(data, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        if not os.path.exists(dst):
+        if os.path.abspath(resolved[kind]) != os.path.abspath(dst):
             shutil.copyfile(resolved[kind], dst)
 
     feat_link = os.path.join(data, "features", f"{task}_i3d")
     os.makedirs(os.path.dirname(feat_link), exist_ok=True)
-    if not os.path.exists(feat_link):
-        os.symlink(os.path.abspath(resolved["features"]), feat_link)
+    _ensure_link(feat_link, resolved["features"])
     glove_link = os.path.join(data, "glove", "glove.840B.300d.txt")
     os.makedirs(os.path.dirname(glove_link), exist_ok=True)
-    if not os.path.exists(glove_link):
-        os.symlink(os.path.abspath(resolved["glove"]), glove_link)
+    _ensure_link(glove_link, resolved["glove"])
 
 
 def delta_table(summary: dict, reference_summary: dict | None,
@@ -147,10 +160,17 @@ def delta_table(summary: dict, reference_summary: dict | None,
 
     Returns {"rounds": [...], "bar": bar, "all_within_bar": bool|None,
     "markdown": str}; all_within_bar is None while reference numbers are
-    pending.
+    pending.  A round whose OWN metrics are missing (a run's best record can
+    legitimately carry empty test_metrics — trainer.py keeps {} when a
+    resumed run never beats the persisted threshold) renders as pending
+    instead of crashing the report after a multi-hour loop.
     """
-    ours = [{"round": 0, **{k: summary["re0_best"]["test_metrics"][k]
-                            for k in ("r1i5", "r1i7")}}]
+    def _fmt(x, signed=False):
+        return "—" if x is None else ("%+.2f" if signed else "%.2f") % x
+
+    re0_metrics = summary["re0_best"].get("test_metrics") or {}
+    ours = [{"round": 0, "r1i5": re0_metrics.get("r1i5"),
+             "r1i7": re0_metrics.get("r1i7")}]
     ours += [{"round": r["round"], "r1i5": r["test"].get("r1i5"),
               "r1i7": r["test"].get("r1i7")} for r in summary["rounds"]]
     ref_by_round = {}
@@ -166,11 +186,14 @@ def delta_table(summary: dict, reference_summary: dict | None,
         ref = ref_by_round.get(o["round"])
         row = {"round": o["round"], "ours_r1i5": o["r1i5"],
                "ours_r1i7": o["r1i7"]}
-        if ref is None:
+        if ref is None or o["r1i5"] is None or o["r1i7"] is None:
             row.update(ref_r1i5=None, ref_r1i7=None, delta_r1i5=None,
                        delta_r1i7=None, within_bar=None)
-            lines.append("| re%d | %.2f | — | — | %.2f | — | — | pending |"
-                         % (o["round"], o["r1i5"], o["r1i7"]))
+            lines.append("| re%d | %s | %s | — | %s | %s | — | pending |"
+                         % (o["round"], _fmt(o["r1i5"]),
+                            _fmt(None if ref is None else ref.get("r1i5")),
+                            _fmt(o["r1i7"]),
+                            _fmt(None if ref is None else ref.get("r1i7"))))
         else:
             d5 = o["r1i5"] - float(ref["r1i5"])
             d7 = o["r1i7"] - float(ref["r1i7"])
@@ -256,8 +279,11 @@ def main() -> int:
 
     sched = SCHEDULE[a.task]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.abspath(a.out or os.path.join(
-        repo, "results", f"real_assets_parity_{a.task}.json"))
+    # dry runs get their own default filename so re-exercising the kit can
+    # never clobber a real parity report
+    default_name = (f"real_assets_parity_{a.task}"
+                    + ("_dryrun" if a.dry_run else "") + ".json")
+    out = os.path.abspath(a.out or os.path.join(repo, "results", default_name))
     os.makedirs(os.path.dirname(out), exist_ok=True)
     ref_summary = None
     if a.reference_summary:
@@ -279,6 +305,7 @@ def main() -> int:
         run_kit(os.path.join(a.root, "staged"), a.task, resolved,
                 epochs=a.epochs or 2, rounds=a.rounds or 1, max_vlen=16,
                 reference_summary=ref_summary, bar=a.bar, out=out,
+                mc_droprate=a.mc_droprate, feature_dtype=a.feature_dtype,
                 model_kwargs=dict(vdim=16, dim=16, num_heads=2, attn_layer=1,
                                   char_dim=8, max_tlen=10),
                 train_kwargs=dict(batch_size=16), dry_run=True)

@@ -202,13 +202,18 @@ def main() -> int:
                     choices=["float32", "bfloat16", "int8"])
     a = ap.parse_args()
     d = TASKS[a.task]
-    root = a.root or f"/tmp/real_records_{a.task}"
+    # the default root encodes the subset size so an --n-train run can never
+    # silently reuse a full-size dataset staged by an earlier run (the
+    # summary artifact would be mislabeled)
+    sub = f"_{a.n_train}" if a.n_train else ""
+    root = a.root or f"/tmp/real_records_{a.task}{sub}"
     epochs = a.epochs or d["epochs"]
     rounds = a.rounds or d["rounds"]
 
     times = {}
     t0 = time.time()
     rng = np.random.default_rng(20260817)
+    meta_path = os.path.join(root, "data", "datagen_meta.json")
     if not os.path.exists(os.path.join(root, "data", f"{a.task}_re0")):
         if a.task == "charades":
             gt_train, re0_train, test = build_charades(root, rng, a.n_train)
@@ -217,9 +222,17 @@ def main() -> int:
         n_videos = build_features(root, a.task, gt_train, test,
                                   d["max_vlen"], rng)
         n_vocab = build_glove(root, gt_train + test, rng)
+        _dump({"task": a.task, "n_train": a.n_train}, meta_path)
         print(json.dumps({"task": a.task, "n_train": len(gt_train),
                           "n_test": len(test), "n_videos": n_videos,
                           "n_vocab": n_vocab}), flush=True)
+    else:
+        meta = _load(meta_path) if os.path.exists(meta_path) else {}
+        if meta.get("task") != a.task or meta.get("n_train") != a.n_train:
+            raise SystemExit(
+                f"--root {root} holds a dataset built with "
+                f"{meta or 'an unknown configuration'}, not "
+                f"task={a.task!r}/n_train={a.n_train!r}; pass a fresh --root")
     times["datagen_s"] = round(time.time() - t0, 1)
 
     from full_loop_demo import run_loop
@@ -244,7 +257,6 @@ def main() -> int:
     # copy the summary into the repo's results/
     src = os.path.join(root, "real_records_summary.json")
     if os.path.exists(src):
-        sub = f"_{a.n_train}" if a.n_train else ""
         dst = os.path.join(REPO, "results",
                            f"real_records_{a.task}{sub}_summary.json")
         with open(src) as f, open(dst, "w") as g:
