@@ -230,18 +230,23 @@ class Config:
             yaml.safe_dump(self.to_dict(), f, sort_keys=False)
 
     # ------------------------------------------------------------------
-    def derive_round(self, round_idx: int) -> "Config":
+    def derive_round(self, round_idx: int,
+                     data_root: str = "./data") -> "Config":
         """Per-round config derivation (reference utils/utils_hual.py:181-192).
 
-        Rewrites train/test paths to the round directory and sets the suffix.
+        Rewrites train/test paths to the round directory under ``data_root``
+        (the same root the label updater writes to — run_rounds plumbs its
+        ``data_root`` here so labels are never written to one tree and
+        trained from another) and sets the suffix.
         """
+        round_dir = os.path.join(data_root, f"{self.task}_re{round_idx}")
         cfg = dataclasses.replace(
             self,
             suffix=f"re{round_idx}",
             paths=dataclasses.replace(
                 self.paths,
-                train_path=f"./data/{self.task}_re{round_idx}/train.json",
-                test_path=f"./data/{self.task}_re{round_idx}/test.json",
+                train_path=os.path.join(round_dir, "train.json"),
+                test_path=os.path.join(round_dir, "test.json"),
             ),
         )
         return cfg

@@ -14,6 +14,7 @@ make every batch a fixed shape (one XLA trace, no retracing):
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -121,12 +122,37 @@ def dataset_gen_active(data, vfeat_lens, word_dict, char_dict,
     return dataset
 
 
-def gen_train_data_cache_path(config: Config) -> str:
-    """Cache key = (task, feature version, max_vlen, suffix); reference
-    utils/data_gen.py:155-158."""
+def _records_fingerprint(data_dir: str) -> str:
+    """crc32 over the round's record JSONs.  The cache key must track the
+    CONTENT of the round directory, not just its suffix: re-running the AL
+    loop in the same workspace (a different strategy/seed/mc_droprate)
+    rewrites data/<task>_re<I>/train.json, and a suffix-only key would
+    silently serve the PREVIOUS run's pseudo labels (the reference deleted
+    the cache pickle every round for exactly this reason,
+    run_charades.py:25-27)."""
+    crc = 0
+    for name in ("train.json", "val.json", "test.json"):
+        path = os.path.join(data_dir, name)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                crc = zlib.crc32(f.read(), crc)
+    return f"{crc:08x}"
+
+
+def _default_data_dir(config: Config) -> str:
+    if config.paths.train_path:
+        return os.path.dirname(config.paths.train_path)
+    return os.path.join("data", f"{config.task}_{config.suffix}")
+
+
+def gen_train_data_cache_path(config: Config, data_dir: str | None = None) -> str:
+    """Cache key = (task, feature version, max_vlen, suffix, record-content
+    fingerprint); reference utils/data_gen.py:155-158 used only the first
+    four and relied on the orchestrator's per-round cache delete."""
     feat_version = os.path.split(config.paths.feature_path.rstrip("/"))[-1]
+    fp = _records_fingerprint(data_dir or _default_data_dir(config))
     name = "_".join([config.task, feat_version, str(config.model.max_vlen),
-                     config.suffix]) + ".pkl"
+                     config.suffix, fp]) + ".pkl"
     return os.path.join(config.paths.cache_dir, name)
 
 
@@ -185,12 +211,9 @@ def gen_or_load_dataset(config: Config, data_dir: str | None = None,
     """
     os.makedirs(config.paths.cache_dir, exist_ok=True)
     if data_dir is None:
-        if config.paths.train_path:
-            data_dir = os.path.dirname(config.paths.train_path)
-        else:
-            data_dir = os.path.join("data", f"{config.task}_{config.suffix}")
+        data_dir = _default_data_dir(config)
 
-    save_path = gen_train_data_cache_path(config)
+    save_path = gen_train_data_cache_path(config, data_dir)
     if os.path.exists(save_path):
         return load_pickle(save_path)
 

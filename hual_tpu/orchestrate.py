@@ -59,7 +59,15 @@ def run_rounds(task: str, rounds: int | None = None,
     base_config_path = base_config_path or DEFAULT_CONFIGS[task]
     base = Config.load(base_config_path)
     logger = get_logger(f"./logs/{task}", "rounds")
+    summary_path = os.path.join(results_root, task, "rounds_summary.json")
     history = []
+    if start_round > 1 and os.path.exists(summary_path):
+        # resume: keep the completed rounds' records — the summary file is
+        # rewritten wholesale below, and starting from [] would destroy them
+        import json
+        with open(summary_path) as f:
+            history = [h for h in json.load(f)
+                       if h.get("round", 0) < start_round]
     # the video feature table is round-invariant: load + device-upload once,
     # reuse across every round's trainer (same for the tokenized corpus)
     shared: dict = dict(warm_start) if warm_start else {}
@@ -76,7 +84,6 @@ def run_rounds(task: str, rounds: int | None = None,
                 logger.exception(f"round re{round_idx} attempt {attempt} failed")
                 if attempt == max_retries:
                     raise
-        summary_path = os.path.join(results_root, task, "rounds_summary.json")
         os.makedirs(os.path.dirname(summary_path), exist_ok=True)
         with open(summary_path, "w") as f:
             import json
@@ -116,19 +123,22 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
         # crashes and the round retries, the retry must still compare its
         # selection against round I-1's, not against its own first attempt
 
-    cfg = base.derive_round(round_idx)
+    cfg = base.derive_round(round_idx, data_root=data_root)
     # persist the derived config next to the base one (reference
     # generate_configs writes SeqPAN_re<I>.yaml)
     stem, ext = os.path.splitext(base_config_path)
     cfg.save(f"{stem}_re{round_idx}{ext}")
 
     logger.info(f"=== round re{round_idx}: train ===")
-    # the shared feature cache is only valid for the same feature set and
-    # padding bound; key it on (feature_path, max_vlen) and drop stale entries
+    # the shared reuse state is only valid for the same feature set and
+    # padding bound; key it on (feature_path, max_vlen) and drop stale
+    # entries — INCLUDING the tokenized dataset, whose v_len/s_ind/e_ind
+    # columns derive from the same key
     feat_key = (cfg.paths.feature_path, cfg.model.max_vlen)
     if shared.get("feat_key") not in (None, feat_key):
         shared.pop("features", None)
         shared.pop("device_features", None)
+        shared.pop("dataset", None)
     trainer = build_trainer(cfg, features=shared.get("features"),
                             device_features=shared.get("device_features"),
                             base_dataset=shared.get("dataset"))
@@ -144,6 +154,7 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
     trainer.restore()
     infer_metrics = trainer.infer_trainset(
         save_path=os.path.join(results_root, task, f"re{round_idx}.pkl"))
+    getattr(trainer, "close", lambda: None)()
 
     history.append({"round": round_idx, "label_stats": stats,
                     "best": {k: v for k, v in best.items()

@@ -211,6 +211,13 @@ class Trainer:
                          f"metrics_{config.suffix or 'run'}.jsonl"))
 
     # ------------------------------------------------------------------
+    def close(self) -> None:
+        """Release the metrics JSONL handle (a multi-round loop builds one
+        trainer per round; without this the handles accumulate for the life
+        of the process)."""
+        self.metrics.close()
+
+    # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.config.train.seed if seed is None else seed
         sample_sel = np.arange(min(2, len(self.train_set)))

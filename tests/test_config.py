@@ -32,6 +32,11 @@ def test_derive_round():
     assert r2.paths.test_path == "./data/charades_re2/test.json"
     # base untouched
     assert cfg.suffix == "" and "gt" in cfg.paths.train_path
+    # a non-default data_root (run_rounds plumbs its own) lands in the paths,
+    # so the label updater and the trainer always share one tree
+    r3 = cfg.derive_round(3, data_root="/tmp/exp/data")
+    assert r3.paths.train_path == "/tmp/exp/data/charades_re3/train.json"
+    assert r3.paths.test_path == "/tmp/exp/data/charades_re3/test.json"
 
 
 def test_batch_size_properties():

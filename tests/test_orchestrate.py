@@ -177,6 +177,40 @@ def test_run_rounds_retry_on_transient_failure(tmp_path, monkeypatch):
     assert len(history) == 1 and calls["n"] == 2
 
 
+def test_resume_preserves_completed_rounds_in_summary(tmp_path, monkeypatch):
+    """run_rounds(start_round=N) must keep rounds < N in rounds_summary.json
+    (the file is rewritten wholesale each round; starting from [] destroyed
+    the completed rounds' records on resume)."""
+    root = str(tmp_path)
+    make_dataset(root, task="charades", n_train=12, n_test=4, vdim=8,
+                 max_raw_len=16, seed=5)
+    monkeypatch.chdir(root)
+    cfg_dir = os.path.join(root, "configs", "charades")
+    os.makedirs(cfg_dir)
+    base_path = os.path.join(cfg_dir, "SeqPAN.yaml")
+    from hual_tpu.config import Config, PathsConfig, TrainConfig
+    cfg = Config(task="charades",
+                 paths=PathsConfig(feature_path="./data/features/charades_i3d",
+                                   glove_path="./data/glove/glove.840B.300d.txt",
+                                   train_path="./data/charades_gt/train.json",
+                                   test_path="./data/charades_gt/test.json"),
+                 train=TrainConfig(epochs=1, batch_size=4))
+    cfg.save(base_path)
+    _write_fake_predictions(cfg.derive_round(0), "./results/charades/re0.pkl")
+
+    import hual_tpu.cli as cli
+    monkeypatch.setattr(cli, "build_trainer", lambda c, **kw: StubTrainer(c))
+    from hual_tpu.orchestrate import run_rounds
+
+    run_rounds("charades", rounds=1, base_config_path=base_path)
+    # "crash" after round 1; resume from round 2
+    run_rounds("charades", rounds=2, base_config_path=base_path,
+               start_round=2)
+    with open("./results/charades/rounds_summary.json") as f:
+        summary = json.load(f)
+    assert [h["round"] for h in summary] == [1, 2]
+
+
 def test_retry_keeps_selection_overlap_vs_previous_round(monkeypatch, tmp_path):
     """A failed-then-retried round must compute selection_overlap_prev against
     round I-1's selection, not against its own first attempt (the first

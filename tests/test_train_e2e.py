@@ -71,6 +71,37 @@ def test_dataset_caching(workdir):
     assert d1["max_wlen"] >= 4 and d1["max_clen"] >= 4
 
 
+def test_dataset_cache_tracks_record_content(workdir, tmp_path):
+    """Rewriting a round's train.json (a re-run AL loop with different
+    settings in the same workspace) must MISS the cache keyed on the old
+    content — the reference deleted the cache pickle per round for exactly
+    this (run_charades.py:25-27); a suffix-only key would silently train on
+    the previous run's pseudo labels."""
+    import json
+    import shutil
+
+    root = str(tmp_path / "ws")
+    shutil.copytree(workdir, root)
+    cfg = tiny_config(root)
+    d1 = gen_or_load_dataset(cfg)
+
+    train_json = cfg.paths.train_path
+    with open(train_json) as f:
+        recs = json.load(f)
+    # move every span to a recognizably different window
+    for r in recs:
+        r[2] = [0.0, round(0.25 * r[1], 2)]
+    with open(train_json, "w") as f:
+        json.dump(recs, f)
+
+    d2 = gen_or_load_dataset(cfg)  # MUST rebuild, not hit the stale pickle
+    changed = sum(
+        1 for a, b in zip(d1["train_set"], d2["train_set"])
+        if (a["s_ind"], a["e_ind"]) != (b["s_ind"], b["e_ind"]))
+    assert changed > 0, "stale cache served: rewritten spans were ignored"
+    assert all(r["s_ind"] == 0 for r in d2["train_set"])
+
+
 def test_training_learns(trained):
     _, _, trainer, best = trained
     # with a planted cross-modal signal, 3 epochs must beat the ~13% random
