@@ -452,6 +452,10 @@ class Trainer:
                             improved=True)
                 state.best_r1i7 = float(test_m["r1i7"])
                 path = os.path.join(model_dir, "best")
+                # the previous best-save is async and may still be
+                # committing; wait before replacing, else its commit
+                # recreates `path` between our rmtree and save
+                ckptr.wait_until_finished()
                 if os.path.exists(path):
                     import shutil
                     shutil.rmtree(path)
