@@ -350,3 +350,55 @@ def test_shared_feature_cache_invalidated_on_feature_path_change(monkeypatch, tm
                         ".", ".", logger, history, shared)
     assert calls["seen"][2][0] is None
     assert shared["feat_key"] == ("/feat/v2", base.model.max_vlen)
+
+
+def test_run_loop_forwards_strategy_axes(tmp_path, monkeypatch):
+    """tools/full_loop_demo.run_loop (the shared loop runner behind the
+    full-scale, real-records, parity-kit and strategy-ablation tools) must
+    forward the ablation axes into orchestrate.run_rounds and stamp them in
+    the summary (tools/strategy_ablation_loop.py relies on both)."""
+    root = str(tmp_path)
+    make_dataset(root, task="charades", n_train=8, n_test=4, vdim=8,
+                 max_raw_len=16, seed=3)
+
+    import hual_tpu.cli as cli
+    import hual_tpu.orchestrate as orch
+
+    class LoopStubTrainer(StubTrainer):
+        features = None
+        dataset = None
+
+        def export_device_features(self):
+            return None
+
+    monkeypatch.setattr(cli, "build_trainer",
+                        lambda c, **kw: LoopStubTrainer(c))
+    captured = {}
+
+    def fake_run_rounds(task, rounds=None, base_config_path=None,
+                        warm_start=None, point_strategy="uncertainty",
+                        selection="half", strategy_seed=12345, **kw):
+        captured.update(point_strategy=point_strategy, selection=selection,
+                        strategy_seed=strategy_seed)
+        return []
+
+    monkeypatch.setattr(orch, "run_rounds", fake_run_rounds)
+
+    from full_loop_demo import run_loop
+    cwd0 = os.getcwd()
+    try:
+        summary_path = os.path.join(root, "summary.json")
+        rc = run_loop(root, "charades", epochs=1, rounds=2, max_vlen=16,
+                      model_kwargs={"vdim": 8, "dim": 8, "num_heads": 2,
+                                    "word_dim": 8, "char_dim": 4},
+                      point_strategy="dichotomy", selection="all",
+                      strategy_seed=7, summary_name=summary_path)
+    finally:
+        os.chdir(cwd0)
+    assert rc == 0
+    assert captured == {"point_strategy": "dichotomy", "selection": "all",
+                        "strategy_seed": 7}
+    with open(summary_path) as f:
+        s = json.load(f)
+    assert s["point_strategy"] == "dichotomy"
+    assert s["selection"] == "all"

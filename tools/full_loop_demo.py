@@ -50,6 +50,11 @@ def main() -> int:
     p.add_argument("--feature-dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"],
                    help="storage dtype of the device-resident feature table")
+    p.add_argument("--point-strategy", default="uncertainty",
+                   choices=["uncertainty", "random", "dichotomy"],
+                   help="observation-point strategy (the paper's ablation)")
+    p.add_argument("--selection", default="half", choices=["half", "all"],
+                   help="per-round annotation budget")
     a = p.parse_args()
     d = TASK_DEFAULTS[a.task]
     n_train = a.n_train if a.n_train is not None else d["n_train"]
@@ -68,7 +73,8 @@ def main() -> int:
 
     return run_loop(a.root, a.task, epochs=epochs, rounds=rounds,
                     max_vlen=d["max_vlen"], mc_droprate=a.mc_droprate,
-                    feature_dtype=a.feature_dtype, times=times)
+                    feature_dtype=a.feature_dtype, times=times,
+                    point_strategy=a.point_strategy, selection=a.selection)
 
 
 def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
@@ -77,14 +83,20 @@ def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
              summary_name: str = "full_loop_summary.json",
              extra: dict | None = None,
              model_kwargs: dict | None = None,
-             train_kwargs: dict | None = None) -> int:
+             train_kwargs: dict | None = None,
+             point_strategy: str = "uncertainty",
+             selection: str = "half",
+             strategy_seed: int = 12345) -> int:
     """Run the complete HUAL loop (re0 train+infer, then `rounds` rounds of
     update -> train -> infer) over the dataset laid out under <root>/data.
     Reused by full-scale synthetic (main), real-records
-    (tools/real_records_loop.py) and real-assets parity
-    (tools/real_assets_parity.py) runs.  ``model_kwargs``/``train_kwargs``
-    override individual ModelConfig/TrainConfig fields (the parity kit's
-    dry-run shrinks the model with them)."""
+    (tools/real_records_loop.py), real-assets parity
+    (tools/real_assets_parity.py) and strategy-ablation
+    (tools/strategy_ablation_loop.py) runs.  ``model_kwargs``/
+    ``train_kwargs`` override individual ModelConfig/TrainConfig fields (the
+    parity kit's dry-run shrinks the model with them);
+    ``point_strategy``/``selection`` are the paper's ablation axes
+    (orchestrate.run_rounds)."""
     times = {} if times is None else times
     t_all = time.time()
     os.chdir(root)
@@ -138,13 +150,16 @@ def run_loop(root: str, task: str, epochs: int, rounds: int, max_vlen: int,
     # --- rounds 1..N (reuse round 0's feature table + tokenized corpus)
     t0 = time.time()
     history = run_rounds(task, rounds=rounds, base_config_path=base_path,
-                         warm_start=warm)
+                         warm_start=warm, point_strategy=point_strategy,
+                         selection=selection, strategy_seed=strategy_seed)
     times["rounds_1_to_N_s"] = round(time.time() - t0, 1)
     times["total_loop_s"] = round(time.time() - t_all, 1)
     times["total_loop_min"] = round(times["total_loop_s"] / 60, 1)
 
     summary = {
         "task": task,
+        "point_strategy": point_strategy,
+        "selection": selection,
         "times": times,
         "re0_best": {k: v for k, v in best0.items() if not k.endswith("_line")},
         "re0_infer": infer0,
