@@ -57,20 +57,30 @@ def main() -> int:
     p.add_argument("--vdim", type=int, default=256,
                    help="synthetic feature dim (smaller than parity's 1024: "
                         "this ablation compares AL dynamics, not kernels)")
+    p.add_argument("--mc-droprate", type=float, default=0.0,
+                   help="MC-dropout rate of the inference passes.  At the "
+                        "shipped default 0.0 the model-uncertainty term is "
+                        "identically zero and uncertainty placement "
+                        "degenerates to the dichotomy midpoint "
+                        "(docs/PARITY.md); a nonzero rate runs the true-MC "
+                        "path where the strategies separate")
     p.add_argument("--out", default=None,
                    help="combined summary path (default: "
                         "<repo>/results/strategy_ablation_loops.json)")
     a = p.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = a.out or os.path.join(repo, "results",
-                                     "strategy_ablation_loops.json")
+    default_name = ("strategy_ablation_loops.json" if a.mc_droprate == 0.0
+                    else f"strategy_ablation_loops_mc"
+                         f"{str(a.mc_droprate).replace('.', '')}.json")
+    out_path = a.out or os.path.join(repo, "results", default_name)
     cwd0 = os.getcwd()
 
     combined = {
         "workload": (f"charades-style synthetic loop, n_train={a.n_train} "
                      f"n_test={a.n_test} epochs={a.epochs} rounds={a.rounds} "
-                     f"vdim={a.vdim} max_vlen=64, identical dataset per "
+                     f"vdim={a.vdim} max_vlen=64, "
+                     f"mc_droprate={a.mc_droprate}, identical dataset per "
                      f"variant (seed 7)"),
         "variants": [],
     }
@@ -87,7 +97,8 @@ def main() -> int:
         os.chdir(cwd0)
         summary_path = os.path.join(root, "full_loop_summary.json")
         rc = run_loop(root, "charades", epochs=a.epochs, rounds=a.rounds,
-                      max_vlen=64, model_kwargs={"vdim": a.vdim},
+                      max_vlen=64, mc_droprate=a.mc_droprate,
+                      model_kwargs={"vdim": a.vdim},
                       point_strategy=strategy, selection=selection,
                       summary_name=summary_path)
         if rc != 0:
