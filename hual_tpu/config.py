@@ -74,6 +74,13 @@ class TrainConfig:
     # power-of-two batches (128/256) sit in a measurable dip
     # (results/sweep_ablation*.json, PROFILING.md §3)
     seed: int = 12345               # reference main.py:21
+    # Save the FULL training state (params+optimizer+step+epoch, trainer
+    # save_state) every K epochs to <model_dir>/state, and resume from it on
+    # restart (orchestrate._run_one_round) — preemption-granular recovery a
+    # TPU fleet needs; a killed anet round resumes at the last saved epoch
+    # instead of retraining 100 epochs.  The reference declared a
+    # --checkpoint resume flag but never wired it (main.py:17).  0 = off.
+    save_state_every: int = 0
     # Dropout rate of the two "MC-dropout" inference passes.  The reference
     # INTENDED 0.5 (eval_test_save builds feed_dict_dropout05,
     # utils/runner_utils.py:79) but its eval feed never includes the

@@ -46,7 +46,12 @@ def run_rounds(task: str, rounds: int | None = None,
     Failure handling (reference run_*.py only checked os.system exit codes
     and aborted): each round retries up to `max_retries` times before the
     loop stops; completed rounds persist on disk, so a crashed loop resumes
-    with ``start_round=<next>``.
+    with ``start_round=<next>``.  With ``train.save_state_every > 0`` the
+    trainer also saves its full state every K epochs and a retry (or a
+    fresh process) resumes the round at the last saved epoch instead of
+    retraining it — a resumed run replays the uninterrupted trajectory
+    exactly (per-epoch shuffle and per-step RNG are functions of the
+    restored epoch/step counters).
 
     ``warm_start``: optionally seed the cross-round reuse state from a
     round-0 trainer, e.g. ``{"features": t.features, "device_features":
@@ -148,7 +153,20 @@ def _run_one_round(task, round_idx, base, base_config_path, data_root,
     shared["dataset"] = getattr(trainer, "dataset", None)
     shared["feat_key"] = feat_key
     trainer.init_state()
+    # epoch-granular resume (train.save_state_every): a preempted/crashed
+    # attempt left a periodic full-state save under this round's model_dir;
+    # continue from it instead of retraining the round from scratch.  The
+    # path is per-suffix (config.model_dir), so it can only ever hold THIS
+    # round's state; it is deleted below once the round completes.
+    state_path = os.path.join(os.path.abspath(cfg.model_dir()), "state")
+    if os.path.exists(state_path):
+        trainer.load_state(state_path)
+        logger.info(f"resuming re{round_idx} from {state_path} "
+                    f"(epoch {trainer.state.epoch})")
     best = trainer.train()
+    if os.path.exists(state_path):
+        import shutil
+        shutil.rmtree(state_path)
 
     logger.info(f"=== round re{round_idx}: infer train set ===")
     trainer.restore()

@@ -44,6 +44,10 @@ class TrainState:
     opt_state: Any
     step: int = 0
     best_r1i7: float = -1.0
+    # epochs COMPLETED so far (== the next epoch index train() will run).
+    # Persisted by save_state so a preempted run resumes mid-round at epoch
+    # granularity instead of retraining the round from scratch.
+    epoch: int = 0
 
 
 def _enable_persistent_compile_cache() -> None:
@@ -338,7 +342,14 @@ class Trainer:
         return cached[1], cached[2]
 
     # ------------------------------------------------------------------
-    def train(self) -> dict[str, Any]:
+    def train(self, epoch_callback=None) -> dict[str, Any]:
+        """Run the configured epochs; returns the best-epoch record.
+
+        ``epoch_callback(epoch, test_metrics)``, when given, fires after each
+        epoch's bookkeeping (best-checkpoint update + periodic state save) —
+        for external reporting/early-stop, and the preemption hook the
+        resume tests use (an exception from it aborts mid-round exactly
+        where a real kill would)."""
         cfg = self.config
         if self.state is None:
             self.init_state()
@@ -361,7 +372,19 @@ class Trainer:
 
         global_step = state.step
         timer = StepTimer(warmup_steps=1)  # per-epoch timing; epoch 0 compiles
-        for epoch in range(cfg.train.epochs):
+        # resume mid-round: state.epoch > 0 after load_state of a periodic
+        # save — the loop continues where the preempted run stopped.  The
+        # per-epoch shuffle (loader.index_iter(epoch)) and the per-step RNG
+        # stream (fold_in(base_rng, global_step)) are both functions of the
+        # restored counters, so a resumed run replays the exact trajectory
+        # of an uninterrupted one (tests/test_train_e2e.py).
+        start_epoch = int(state.epoch)
+        if start_epoch:
+            self.logger.info(f"resuming at epoch {start_epoch} "
+                             f"(step {global_step})")
+        state_path = os.path.join(model_dir, "state")
+        every = int(getattr(cfg.train, "save_state_every", 0) or 0)
+        for epoch in range(start_epoch, cfg.train.epochs):
             # linear LR decay (reference main.py:61)
             cur_lr = cfg.train.lr * (1.0 - epoch / cfg.train.epochs)
             t0 = time.time()
@@ -460,6 +483,16 @@ class Trainer:
                     import shutil
                     shutil.rmtree(path)
                 ckptr.save(path, jax.device_get(state.params))
+            state.epoch = epoch + 1
+            # periodic full-state save (resume point) AFTER the best-ckpt
+            # update so a resume carries a best_r1i7 threshold consistent
+            # with the best/ checkpoint already on disk
+            if every and (epoch + 1) % every == 0 \
+                    and epoch + 1 < cfg.train.epochs:
+                ckptr.wait_until_finished()
+                self.save_state(state_path)
+            if epoch_callback is not None:
+                epoch_callback(epoch, test_m)
         ckptr.wait_until_finished()
         self.logger.info("Highest R1i7 epoch:\n%s\n%s",
                          best["train_line"], best["test_line"])
@@ -482,7 +515,8 @@ class Trainer:
         ckptr.save(path, {"params": jax.device_get(self.state.params),
                           "opt_state": jax.device_get(self.state.opt_state),
                           "step": self.state.step,
-                          "best_r1i7": self.state.best_r1i7})
+                          "best_r1i7": self.state.best_r1i7,
+                          "epoch": self.state.epoch})
         ckptr.wait_until_finished()
 
     def load_state(self, path: str) -> None:
@@ -492,12 +526,14 @@ class Trainer:
         target = {"params": jax.device_get(self.state.params),
                   "opt_state": jax.device_get(self.state.opt_state),
                   "step": self.state.step,
-                  "best_r1i7": self.state.best_r1i7}
+                  "best_r1i7": self.state.best_r1i7,
+                  "epoch": self.state.epoch}
         restored = ckptr.restore(os.path.abspath(path), target=target)
         self.state.params = jax.device_put(restored["params"], self._repl)
         self.state.opt_state = jax.device_put(restored["opt_state"], self._repl)
         self.state.step = int(restored["step"])
         self.state.best_r1i7 = float(restored["best_r1i7"])
+        self.state.epoch = int(restored["epoch"])
 
     # ------------------------------------------------------------------
     def restore(self, path: Optional[str] = None) -> None:

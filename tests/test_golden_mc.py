@@ -40,16 +40,26 @@ import pytest
 
 REFERENCE = "/root/reference"
 
-# charades parity shapes (configs/charades/SeqPAN.yaml); B=32 so the ranking
-# comparison has enough videos to be statistically meaningful
-B, T, W, C = 32, 64, 14, 12
+# Parity shapes for BOTH reference configs; B=32 so the ranking comparison
+# has enough videos to be statistically meaningful.  charades runs at two
+# independent fixture seeds so the calibrated tolerances rest on >=2
+# measurements (docs/PARITY.md records both); anet
+# (configs/anet/SeqPAN.yaml:16-25: max_vlen=100, char_dim=100) exercises the
+# flagship-scale shapes through the char CNN, pos-emb slice and T=100
+# attention.
+B = 32
 DIM, HEADS, LAYERS = 128, 8, 2
-WORD_DIM, CHAR_DIM, VOCAB, CHARS = 300, 50, 100, 60
+WORD_DIM, VOCAB, CHARS = 300, 100, 60
 N_PASSES = 64
 MC_RATE = 0.5
+VARIANTS = {
+    "charades": dict(T=64, W=14, C=12, CHAR_DIM=50, seed=20260819),
+    "charades-seed2": dict(T=64, W=14, C=12, CHAR_DIM=50, seed=20260412),
+    "anet": dict(T=100, W=20, C=12, CHAR_DIM=100, seed=20260819),
+}
 
 
-def _make_batch(rng: np.random.Generator) -> dict:
+def _make_batch(rng: np.random.Generator, T: int, W: int, C: int) -> dict:
     v_len = rng.integers(8, T + 1, size=B).astype(np.int32)
     v_len[0] = T
     w_len = rng.integers(3, W + 1, size=B).astype(np.int32)
@@ -68,10 +78,14 @@ def _make_batch(rng: np.random.Generator) -> dict:
             "word_ids": word_ids, "char_ids": char_ids}
 
 
-@pytest.fixture(scope="module")
-def mc_passes():
+@pytest.fixture(scope="module", params=sorted(VARIANTS))
+def mc_passes(request):
     """(N, B, T) start/end logits from both frameworks at drop 0.5, grafted
-    identical weights; plus the fixture batch."""
+    identical weights; plus the fixture batch.  Parameterized over
+    {charades seed1, charades seed2, anet} — see VARIANTS."""
+    var = VARIANTS[request.param]
+    T, W, C, CHAR_DIM = var["T"], var["W"], var["C"], var["CHAR_DIM"]
+
     sys.path.insert(0, REFERENCE)
     try:
         import tensorflow as tf
@@ -83,8 +97,8 @@ def mc_passes():
 
     from models.model import SeqPAN as RefSeqPAN  # noqa: E402
 
-    rng = np.random.default_rng(20260819)
-    batch = _make_batch(rng)
+    rng = np.random.default_rng(var["seed"])
+    batch = _make_batch(rng, T, W, C)
     word_vectors = rng.normal(size=(VOCAB - 2, WORD_DIM)).astype(np.float32)
 
     configs = types.SimpleNamespace(
@@ -154,7 +168,7 @@ def mc_passes():
     vmask = np.arange(T)[None, :] < batch["video_seq_len"][:, None]
     return {"tf_s": np.stack(tf_s), "tf_e": np.stack(tf_e),
             "ours_s": np.stack(ours_s), "ours_e": np.stack(ours_e),
-            "batch": batch, "vmask": vmask}
+            "batch": batch, "vmask": vmask, "variant": request.param}
 
 
 def _mean_z(a: np.ndarray, b: np.ndarray, vmask: np.ndarray) -> np.ndarray:
@@ -187,6 +201,8 @@ def test_mc_mean_agrees(mc_passes):
     for name, a, b in (("start", mc_passes["tf_s"], mc_passes["ours_s"]),
                        ("end", mc_passes["tf_e"], mc_passes["ours_e"])):
         z = _mean_z(a, b, vmask)
+        print(f"[mc-calib {mc_passes['variant']}] {name} z p99="
+              f"{np.percentile(z, 99):.2f} max={z.max():.2f}")
         assert np.percentile(z, 99) < 4.0, (name, np.percentile(z, 99))
         assert z.max() < 6.0, (name, z.max())
 
@@ -202,6 +218,8 @@ def test_mc_noise_scale_agrees(mc_passes):
         pa = np.sqrt((a.std(0, ddof=1) ** 2 * vmask).sum(1) / nvalid)
         pb = np.sqrt((b.std(0, ddof=1) ** 2 * vmask).sum(1) / nvalid)
         ratio = pa / pb
+        print(f"[mc-calib {mc_passes['variant']}] {name} std-ratio "
+              f"[{ratio.min():.2f}, {ratio.max():.2f}]")
         assert ratio.min() > 0.7, (name, ratio.min())
         assert ratio.max() < 1.4, (name, ratio.max())
 
@@ -223,7 +241,10 @@ def test_mc_acquisition_ranking_agrees(mc_passes):
 
     uv_tf = uncert_video(mc_passes["tf_s"], mc_passes["tf_e"])
     uv_ours = uncert_video(mc_passes["ours_s"], mc_passes["ours_e"])
-    assert _spearman(uv_tf, uv_ours) >= 0.85
     rel = np.abs(uv_tf - uv_ours) / uv_tf
+    print(f"[mc-calib {mc_passes['variant']}] spearman="
+          f"{_spearman(uv_tf, uv_ours):.3f} rel median={np.median(rel):.3f} "
+          f"max={rel.max():.3f}")
+    assert _spearman(uv_tf, uv_ours) >= 0.85
     assert np.median(rel) < 0.2, np.median(rel)
     assert rel.max() < 0.5, rel.max()

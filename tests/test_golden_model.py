@@ -34,11 +34,20 @@ import pytest
 
 REFERENCE = "/root/reference"
 
-# charades parity shapes (configs/charades/SeqPAN.yaml:16-25), small batch
-B, T, W, C = 8, 64, 14, 12
+# Parity shapes for BOTH reference configs, small batch.  The two datasets
+# differ in the video length bound and the char-CNN width
+# (configs/charades/SeqPAN.yaml:16-25 -> max_vlen=64 char_dim=50;
+# configs/anet/SeqPAN.yaml:16-25 -> max_vlen=100 char_dim=100) — anet's
+# T=100 exercises a different pos-emb slice, attention extent and char
+# embedding than charades, so the grafted-weights comparison runs at both.
+B = 8
 DIM, HEADS, LAYERS = 128, 8, 2
-WORD_DIM, CHAR_DIM, VOCAB, CHARS = 300, 50, 100, 60
+WORD_DIM, VOCAB, CHARS = 300, 100, 60
 LR = 1e-4
+SHAPES = {
+    "charades": dict(T=64, W=14, C=12, CHAR_DIM=50),
+    "anet": dict(T=100, W=20, C=12, CHAR_DIM=100),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +71,7 @@ def _flax_leaf_paths(params) -> dict:
     return out
 
 
-def _make_batch(rng: np.random.Generator) -> dict:
+def _make_batch(rng: np.random.Generator, T: int, W: int, C: int) -> dict:
     v_len = np.array([T, 37, T, 12, 50, T, 29, 44], np.int32)[:B]
     w_len = np.array([W, 6, 9, W, 4, 11, W, 7], np.int32)[:B]
     feats = rng.normal(size=(B, T, 1024)).astype(np.float32)
@@ -84,11 +93,18 @@ def _make_batch(rng: np.random.Generator) -> dict:
             "s_ind": s_ind, "e_ind": e_ind, "duration": duration}
 
 
-@pytest.fixture(scope="module")
-def golden():
+@pytest.fixture(scope="module", params=sorted(SHAPES))
+def golden(request):
     """Build both graphs from IDENTICAL weights, run forward + one AdamW step
-    on a shared fixture batch, return everything the tests compare."""
+    on a shared fixture batch, return everything the tests compare.
+
+    Parameterized over {charades, anet} parity shapes — each instantiation
+    builds a fresh TF graph and a fresh flax model at that dataset's
+    max_vlen / char_dim."""
     import types
+
+    shp = SHAPES[request.param]
+    T, W, C, CHAR_DIM = shp["T"], shp["W"], shp["C"], shp["CHAR_DIM"]
 
     sys.path.insert(0, REFERENCE)
     try:
@@ -112,7 +128,7 @@ def golden():
     )
     rng = np.random.default_rng(20260817)
     word_vectors = rng.normal(size=(VOCAB - 2, WORD_DIM)).astype(np.float32)
-    batch = _make_batch(rng)
+    batch = _make_batch(rng, T, W, C)
 
     graph = tf.Graph()
     ref = RefSeqPAN(configs, graph, word_vectors=word_vectors)

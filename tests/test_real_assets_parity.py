@@ -207,3 +207,92 @@ def test_dry_run_end_to_end(synth_assets, tmp_path, monkeypatch):
                        "r1i7": r["ours_r1i7"]} for r in rounds]}
     t = delta_table(report["loop_summary"], ref, bar=0.3)
     assert t["all_within_bar"] is True
+
+
+# ---------------------------------------------------------------------------
+# the automated reference side (tools/run_reference_side.py)
+
+
+def test_best_test_line_first_strict_max():
+    """Parsing replicates the reference's best rule (main.py:70-74): first
+    epoch strictly exceeding every earlier R1@0.7."""
+    from run_reference_side import best_test_line
+
+    out = ("INFO:TEST:\t30.00\t20.00\t10.00\t25.00\t\n"
+           "INFO:TEST:\t35.00\t25.00\t12.50\t27.00\t\n"
+           "noise line\n"
+           "INFO:TEST:\t36.00\t26.00\t12.50\t28.00\t\n")  # tie: NOT taken
+    best = best_test_line(out)
+    assert best == {"r1i3": 35.0, "r1i5": 25.0, "r1i7": 12.5, "miou": 27.0}
+    assert best_test_line("no test lines here") is None
+
+
+def test_shims_behave_like_the_real_packages(tmp_path):
+    """The generated easydict/omegaconf shims support everything the
+    reference code paths use: nested attribute get/set, json.dumps on the
+    config tree, OmegaConf load->mutate->save."""
+    import importlib
+    import subprocess
+    import sys as _sys
+
+    from run_reference_side import write_shims
+
+    shim_dir = str(tmp_path / "shims")
+    write_shims(shim_dir)
+    code = (
+        "import json, sys\n"
+        "from easydict import EasyDict\n"
+        "d = EasyDict({'a': {'b': 1}, 'l': [{'c': 2}]})\n"
+        "assert d.a.b == 1 and d.l[0].c == 2\n"
+        "d.suffix = 're0'\n"            # main.py:31
+        "assert d['suffix'] == 're0'\n"
+        "json.dumps(d)\n"               # main.py:47
+        "try:\n"
+        "    d.mode\n"
+        "except AttributeError:\n"
+        "    pass\n"
+        "else:\n"
+        "    raise SystemExit('missing key must raise AttributeError')\n"
+        "from omegaconf import OmegaConf\n"
+        "import yaml\n"
+        "open('c.yaml', 'w').write(yaml.safe_dump("
+        "{'paths': {'train_path': 'x'}}))\n"
+        "conf = OmegaConf.load('c.yaml')\n"
+        "conf.paths.train_path = './data/charades_re1/train.json'\n"  # utils_hual.py:185
+        "OmegaConf.save(conf, 'c2.yaml')\n"
+        "assert yaml.safe_load(open('c2.yaml'))['paths']['train_path']"
+        ".endswith('re1/train.json')\n"
+        "print('SHIMS_OK')\n")
+    r = subprocess.run([_sys.executable, "-c", code], cwd=str(tmp_path),
+                       env={**os.environ, "PYTHONPATH": shim_dir},
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SHIMS_OK" in r.stdout
+
+
+def test_run_reference_schedule_hermetic(synth_assets, tmp_path):
+    """The mounted reference's own schedule (train re0 -> infer ->
+    update_label -> train re1), executed as subprocesses on tiny synthetic
+    assets, yields parseable per-round best numbers — the ref_numbers.json
+    side of asset day needs no human (VERDICT r4 #3).  Also locks in that
+    the tolerated trailing crash of reference train mode (the mode-dispatch
+    bug, docs/PARITY.md) keeps being tolerated."""
+    from run_reference_side import run_reference_schedule
+
+    feats = os.path.join(synth_assets, "features", "charades_i3d")
+    glove = os.path.join(synth_assets, "glove", "glove.840B.300d.txt")
+    resolved = validate_assets("charades", feats, glove,
+                               data_root=synth_assets)
+    ref = run_reference_schedule(
+        str(tmp_path / "ref_run"), "charades", resolved, epochs=1, rounds=1,
+        model_cfg=dict(vdim=16, dim=16, num_heads=2, attn_layer=1,
+                       char_dim=8, max_tlen=10, max_vlen=16),
+        train_cfg=dict(batch_size=16))
+    assert [r["round"] for r in ref["rounds"]] == [0, 1]
+    for r in ref["rounds"]:
+        for k in ("r1i3", "r1i5", "r1i7", "miou"):
+            assert np.isfinite(r[k]), (r, k)
+    assert ref["protocol"]["seed"] == 12345
+    # the harvested schema feeds the delta table directly
+    t = delta_table(_fake_summary(), {"rounds": ref["rounds"][:1]}, bar=0.3)
+    assert t["rounds"][0]["ref_r1i7"] == ref["rounds"][0]["r1i7"]

@@ -369,3 +369,71 @@ def test_respan_fast_path(tmp_path):
     (d / "train.json").write_text(json.dumps(bad))
     assert _respan_dataset(base, str(d)) is None          # vid mismatch
     assert _respan_dataset(base, str(tmp_path / "none")) is None
+
+
+def test_epoch_granular_resume_matches_uninterrupted(workdir, tmp_path):
+    """train.save_state_every: a run killed mid-round and resumed from the
+    periodic state save replays the uninterrupted run's trajectory EXACTLY —
+    final params bit-identical, same best threshold, same best checkpoint
+    (VERDICT r4 #4; the reference's --checkpoint resume flag was never
+    wired, main.py:17).  Works because the per-epoch shuffle and the
+    per-step RNG stream are pure functions of the restored epoch/step."""
+    import shutil
+
+    import jax
+
+    def run(root):
+        cfg = tiny_config(root)
+        cfg.train.epochs = 4
+        cfg.train.save_state_every = 1
+        dataset = gen_or_load_dataset(cfg)
+        features = FeatureStore.from_dir(cfg.paths.feature_path,
+                                         cfg.model.max_vlen)
+        t = Trainer(cfg, dataset, features)
+        t.init_state()
+        return cfg, t
+
+    # --- uninterrupted 4-epoch run
+    root_a = str(tmp_path / "a")
+    shutil.copytree(workdir, root_a)
+    cfg_a, ta = run(root_a)
+    ta.train()
+    params_a = jax.device_get(ta.state.params)
+    best_a = ta.state.best_r1i7
+    ta.restore()
+    test_a = ta.test()
+
+    # --- interrupted at the end of epoch 1 (periodic save already on disk),
+    #     then resumed in a FRESH trainer
+    root_b = str(tmp_path / "b")
+    shutil.copytree(workdir, root_b)
+    cfg_b, tb = run(root_b)
+
+    class Preempted(Exception):
+        pass
+
+    def kill_after_epoch_1(epoch, test_m):
+        if epoch == 1:
+            raise Preempted
+
+    with pytest.raises(Preempted):
+        tb.train(epoch_callback=kill_after_epoch_1)
+
+    state_path = os.path.join(os.path.abspath(cfg_b.model_dir()), "state")
+    assert os.path.exists(state_path), "periodic save missing after kill"
+
+    cfg_b2, tb2 = run(root_b)
+    tb2.load_state(state_path)
+    assert tb2.state.epoch == 2
+    tb2.train()
+
+    # bit-identical trajectory
+    params_b = jax.device_get(tb2.state.params)
+    for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_array_equal(a, b)
+    assert tb2.state.step == ta.state.step
+    assert tb2.state.best_r1i7 == pytest.approx(best_a)
+    # the best checkpoint on disk is equivalent too
+    tb2.restore()
+    test_b = tb2.test()
+    assert test_b == pytest.approx(test_a)
