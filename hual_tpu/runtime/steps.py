@@ -80,9 +80,31 @@ def gather_batch(data: dict, sel: jnp.ndarray, with_labels: bool) -> dict:
     return batch
 
 
+def dequantize_batch(batch: dict) -> dict:
+    """Device-side dequantization for HOST-STREAMED batches.
+
+    The >HBM fallback ships each batch over the (slow, ~12 MiB/s tunnel)
+    host->device link; with model.feature_dtype='int8' the trainer streams
+    (int8 features, f32 per-clip scales) — a quarter of the f32 bytes, the
+    same per-clip symmetric scheme as the device-resident table
+    (data/features.quantize_features), so both residencies see identical
+    dequantized values.  No-op for f32 batches; bf16 casts up."""
+    feats = batch["video_features"]
+    if feats.dtype == jnp.int8:
+        batch = dict(batch)
+        scales = batch.pop("feature_scales")
+        batch["video_features"] = feats.astype(jnp.float32) * scales[..., None]
+    elif feats.dtype != jnp.float32:
+        batch = dict(batch)
+        batch["video_features"] = feats.astype(jnp.float32)
+    return batch
+
+
 def make_train_step(model, tx: optax.GradientTransformation,
                     match_lambda: float, droprate: float) -> Callable:
     def train_step(params, opt_state, batch, word_vectors, lr, rng):
+        batch = dequantize_batch(batch)
+
         def loss_fn(p):
             outputs = model.apply(p, batch, word_vectors, droprate,
                                   batch["match_labels"], deterministic=False,
@@ -106,6 +128,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 def make_eval_step(model) -> Callable:
     def eval_step(params, batch, word_vectors):
+        batch = dequantize_batch(batch)
         outputs = model.apply(params, batch, word_vectors, 0.0,
                               deterministic=True)
         ious = device_ious(outputs["start_index"], outputs["end_index"],
@@ -156,6 +179,7 @@ def make_infer_step(model, mc_droprate: float = 0.0,
     stoch_model = mc_model if mc_model is not None else model
 
     def infer_step(params, batch, word_vectors, rng):
+        batch = dequantize_batch(batch)
         if (mc_droprate != 0.0 and fold_mc and not stochastic_eval
                 and mc_model is None):
             b = batch["video_features"].shape[0]

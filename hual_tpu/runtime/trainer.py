@@ -130,10 +130,11 @@ class Trainer:
                 f"{config.train.hbm_budget_gb} GB); batches are gathered on "
                 f"host and prefetched")
             if self._table_spec[1] == np.int8:
-                self.logger.warning(
-                    "model.feature_dtype='int8' only applies to the "
-                    "device-resident table; host-streaming batches are "
-                    "gathered float32 on the host")
+                self.logger.info(
+                    "host-streaming with model.feature_dtype='int8': "
+                    "batches are quantized per-clip on the prefetch thread "
+                    "and shipped as (int8, f32 scales) — a quarter of the "
+                    "f32 upload bytes through the tunnel (PROFILING.md §5b)")
             self._device_features = None
             self._device_feature_scales = None
             self._train_data = self._test_data = self._val_data = None
@@ -302,6 +303,26 @@ class Trainer:
             return jax.device_put(wv, vocab_sharding(self.mesh))
         return jax.device_put(jnp.asarray(wv), self._repl)
 
+    def _hs_stream(self, it):
+        """Host-streaming batch transform: with an int8 feature dtype,
+        quantize each gathered f32 batch per-clip (the SAME scheme as the
+        device-resident table, features.quantize_features) so the upload
+        ships (int8, scales) instead of 4x the bytes; the jitted steps
+        dequantize on device (steps.dequantize_batch).  Runs on the
+        prefetch thread, overlapping device compute.  Identity for
+        f32/bf16 streaming."""
+        if self._table_spec[1] != np.int8:
+            yield from it
+            return
+        from hual_tpu.data.features import quantize_features
+        for item in it:
+            item = list(item)
+            for i, x in enumerate(item):
+                if isinstance(x, dict) and "video_features" in x:
+                    q, s = quantize_features(x["video_features"])
+                    item[i] = dict(x, video_features=q, feature_scales=s)
+            yield tuple(item)
+
     def _device_data(self, packed: PackedDataset) -> dict:
         cols = {"feat_rows": packed.feat_rows, "word_ids": packed.word_ids,
                 "char_ids": packed.char_ids, "s_ind": packed.s_ind,
@@ -396,7 +417,8 @@ class Trainer:
                     # >HBM fallback: per-batch host gather + label synthesis
                     # on a prefetch thread, per-batch upload; same batch
                     # order and per-step RNG stream as the device path
-                    for sel, batch in prefetch(loader.batch_iter(epoch)):
+                    for sel, batch in prefetch(
+                            self._hs_stream(loader.batch_iter(epoch))):
                         rng = jax.random.fold_in(base_rng, global_step)
                         (state.params, state.opt_state,
                          metrics) = self._train_step_host(
@@ -559,7 +581,8 @@ class Trainer:
         if self.host_streaming:
             loader = EvalLoader(ds, batch_size, pad_to_batch=True)
             parts = []
-            for _, batch, n_valid in prefetch(loader.batch_iter()):
+            for _, batch, n_valid in prefetch(
+                    self._hs_stream(loader.batch_iter())):
                 out = self._eval_step_host(self.state.params, batch,
                                            self.word_vectors)
                 parts.append(np.asarray(out["ious"])[:n_valid])
@@ -594,7 +617,7 @@ class Trainer:
             loader = EvalLoader(self.train_set, batch_size, pad_to_batch=True)
             parts = []
             for i, (_, batch, n_valid) in enumerate(
-                    prefetch(loader.batch_iter())):
+                    prefetch(self._hs_stream(loader.batch_iter()))):
                 out = self._infer_step_host(self.state.params, batch,
                                             self.word_vectors,
                                             jax.random.fold_in(rng, i))

@@ -182,3 +182,59 @@ def test_int8_feature_table_trains_close_to_f32(workdir):
     # a bare int8 table without its scales column must be rejected loudly
     with pytest.raises(AssertionError):
         Trainer(cfg2, dataset, features, device_features=exported[0])
+
+
+def test_int8_host_streaming_matches_int8_resident(workdir):
+    """int8 host-streaming (VERDICT r4 #5): streamed batches are quantized
+    per-clip on the prefetch thread with the SAME scheme as the resident
+    table (features.quantize_features is per-(video,clip), independent of
+    which rows sit beside it), so the two residencies feed identical
+    dequantized values — a single whole-dataset optimizer step matches to
+    fusion-rounding tolerance, and the streamed bytes really are int8."""
+    import jax
+
+    trainers = {}
+    for suffix, hs in (("q8dev1", False), ("q8host1", True)):
+        cfg = _cfg(workdir, suffix, hs, feature_dtype="int8")
+        cfg.train.epochs = 1
+        cfg.train.batch_size = 32  # dataset size: exactly one step
+        dataset = gen_or_load_dataset(_cfg(workdir, "shared", None))
+        features = FeatureStore.from_dir(cfg.paths.feature_path,
+                                         cfg.model.max_vlen)
+        t = Trainer(cfg, dataset, features)
+        assert t.host_streaming == hs
+        t.init_state()
+        t.train()
+        trainers[suffix] = t
+
+    for a, b in zip(
+            jax.tree.leaves(jax.device_get(trainers["q8dev1"].state.params)),
+            jax.tree.leaves(jax.device_get(trainers["q8host1"].state.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+    # the wire format: int8 features + f32 per-clip scales, and the
+    # dequantized stream equals the resident table's dequantized rows
+    t_host = trainers["q8host1"]
+    from hual_tpu.data.loader import TrainLoader
+    loader = TrainLoader(t_host.train_set, 32, seed=12345)
+    (sel, batch), = list(t_host._hs_stream(loader.batch_iter(0)))
+    assert batch["video_features"].dtype == np.int8
+    assert batch["feature_scales"].dtype == np.float32
+    assert batch["feature_scales"].shape == batch["video_features"].shape[:2]
+    deq_stream = (batch["video_features"].astype(np.float32)
+                  * batch["feature_scales"][..., None])
+    t_dev = trainers["q8dev1"]
+    rows = t_dev.train_set.feat_rows[sel]
+    tbl = jax.device_get(t_dev._device_features)[rows]
+    sc = jax.device_get(t_dev._device_feature_scales)[rows]
+    np.testing.assert_array_equal(
+        deq_stream, tbl.astype(np.float32) * sc[..., None])
+
+    # f32 streaming is untouched by the transform (identity path)
+    t_f32 = Trainer(_cfg(workdir, "idhs", True),
+                    gen_or_load_dataset(_cfg(workdir, "shared", None)),
+                    FeatureStore.from_dir(
+                        _cfg(workdir, "idhs", True).paths.feature_path, 16))
+    (s2, b2), = list(t_f32._hs_stream(loader.batch_iter(0)))
+    assert b2["video_features"].dtype == np.float32
+    assert "feature_scales" not in b2

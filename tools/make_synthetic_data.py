@@ -29,11 +29,26 @@ OBJECTS = ["door", "cup", "book", "broom", "bottle", "pillow", "laptop", "towel"
 def make_dataset(root: str, task: str = "charades", n_train: int = 64,
                  n_test: int = 32, vdim: int = 64, max_raw_len: int = 48,
                  min_raw_len: int = 12, seed: int = 7,
-                 queries_per_video: int = 1) -> dict:
+                 queries_per_video: int = 1, hard: bool = False) -> dict:
     """``queries_per_video > 1`` mirrors the real datasets (ActivityNet
     Captions averages ~3.4 moments per video): records share videos, each
     query's action pattern is injected into its own span of the shared
-    feature array, and the packed feature table stays per-video."""
+    feature array, and the packed feature table stays per-video.
+
+    ``hard=True`` makes the signal non-trivially learnable so model
+    UNCERTAINTY varies meaningfully by sample (VERDICT r4 #2 — on the easy
+    default the acquisition term has nothing to do and uncertainty
+    placement degenerates to ~dichotomy quality):
+
+    * a DISTRACTOR moment: a second span carrying a different action's
+      pattern at full strength — the model must use the query, not just
+      "find the salient segment";
+    * per-video noise level sigma ~ U[0.7, 2.0] — some videos are clean,
+      some barely above noise;
+    * per-record signal amplitude ~ U[0.8, 1.6] instead of the fixed 2.0.
+
+    Default-mode datasets are BIT-IDENTICAL to before this knob existed:
+    every new RNG draw is gated behind ``hard``."""
     rng = np.random.default_rng(seed)
     feat_dir = os.path.join(root, "data", "features", f"{task}_i3d")
     os.makedirs(feat_dir, exist_ok=True)
@@ -48,7 +63,9 @@ def make_dataset(root: str, task: str = "charades", n_train: int = 64,
             vid = f"v{offset + v:05d}"
             raw_len = int(rng.integers(min_raw_len, max_raw_len + 1))
             duration = round(float(raw_len) * rng.uniform(0.4, 0.8), 2)
-            feat = rng.normal(0.0, 1.0, size=(raw_len, vdim)).astype(np.float32)
+            sigma = float(rng.uniform(0.7, 2.0)) if hard else 1.0
+            feat = rng.normal(0.0, sigma,
+                              size=(raw_len, vdim)).astype(np.float32)
             for _ in range(min(queries_per_video, n - len(records))):
                 a = int(rng.integers(len(ACTIONS)))
                 o = int(rng.integers(len(OBJECTS)))
@@ -59,7 +76,26 @@ def make_dataset(root: str, task: str = "charades", n_train: int = 64,
                 e_time = round((s_frac + span) * duration, 2)
                 lo = int(s_frac * raw_len)
                 hi = max(lo + 1, int((s_frac + span) * raw_len))
-                feat[lo:hi] += 2.0 * patterns[a]
+                amp = float(rng.uniform(0.8, 1.6)) if hard else 2.0
+                feat[lo:hi] += amp * patterns[a]
+                if hard:
+                    # distractor moment: another action's pattern, same
+                    # strength, planted preferentially AWAY from the true
+                    # span — grounding must read the query
+                    a2 = int((a + 1 + rng.integers(len(ACTIONS) - 1))
+                             % len(ACTIONS))
+                    dspan = rng.uniform(0.15, 0.4)
+                    best, best_ov = None, None
+                    for _try in range(4):
+                        d_frac = rng.uniform(0.0, 1.0 - dspan)
+                        dlo = int(d_frac * raw_len)
+                        dhi = max(dlo + 1, int((d_frac + dspan) * raw_len))
+                        ov = max(0, min(hi, dhi) - max(lo, dlo))
+                        if best is None or ov < best_ov:
+                            best, best_ov = (dlo, dhi), ov
+                        if ov == 0:
+                            break
+                    feat[best[0]:best[1]] += amp * patterns[a2]
                 sentence = f"person {ACTIONS[a]} a {OBJECTS[o]}.\n"
                 records.append([vid, duration, [s_time, e_time], sentence])
             np.save(os.path.join(feat_dir, f"{vid}.npy"), feat)
@@ -121,10 +157,13 @@ def main() -> int:
     p.add_argument("--max-raw-len", type=int, default=48)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--queries-per-video", type=int, default=1)
+    p.add_argument("--hard", action="store_true",
+                   help="distractor moments + per-video noise levels + "
+                        "weaker per-record amplitudes (see make_dataset)")
     a = p.parse_args()
     info = make_dataset(a.root, a.task, a.n_train, a.n_test, a.vdim,
                         a.max_raw_len, seed=a.seed,
-                        queries_per_video=a.queries_per_video)
+                        queries_per_video=a.queries_per_video, hard=a.hard)
     print(json.dumps(info))
     return 0
 

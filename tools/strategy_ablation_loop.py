@@ -64,6 +64,11 @@ def main() -> int:
                         "degenerates to the dichotomy midpoint "
                         "(docs/PARITY.md); a nonzero rate runs the true-MC "
                         "path where the strategies separate")
+    p.add_argument("--hard", action="store_true",
+                   help="hard-signal dataset (distractor moments, per-video "
+                        "noise, weaker amplitudes — make_synthetic_data "
+                        "--hard): gives the acquisition term real per-sample "
+                        "difficulty variation to exploit (VERDICT r4 #2)")
     p.add_argument("--out", default=None,
                    help="combined summary path (default: "
                         "<repo>/results/strategy_ablation_loops.json)")
@@ -73,6 +78,8 @@ def main() -> int:
     default_name = ("strategy_ablation_loops.json" if a.mc_droprate == 0.0
                     else f"strategy_ablation_loops_mc"
                          f"{str(a.mc_droprate).replace('.', '')}.json")
+    if a.hard:
+        default_name = default_name.replace(".json", "_hard.json")
     out_path = a.out or os.path.join(repo, "results", default_name)
     cwd0 = os.getcwd()
 
@@ -80,8 +87,8 @@ def main() -> int:
         "workload": (f"charades-style synthetic loop, n_train={a.n_train} "
                      f"n_test={a.n_test} epochs={a.epochs} rounds={a.rounds} "
                      f"vdim={a.vdim} max_vlen=64, "
-                     f"mc_droprate={a.mc_droprate}, identical dataset per "
-                     f"variant (seed 7)"),
+                     f"mc_droprate={a.mc_droprate}, hard={a.hard}, "
+                     f"identical dataset per variant (seed 7)"),
         "variants": [],
     }
     t_all = time.time()
@@ -92,7 +99,7 @@ def main() -> int:
             shutil.rmtree(root)
         make_dataset(root, task="charades", n_train=a.n_train,
                      n_test=a.n_test, vdim=a.vdim, max_raw_len=128,
-                     seed=7)
+                     seed=7, hard=a.hard)
         t0 = time.time()
         os.chdir(cwd0)
         summary_path = os.path.join(root, "full_loop_summary.json")
