@@ -71,6 +71,12 @@ def main(argv=None) -> int:
     mode = args.mode.lower()
     if mode == "train":
         trainer.init_state(args.seed)
+        if args.checkpoint:
+            # the reference DECLARED this resume flag but never wired it
+            # (main.py:17); here it restores a full save_state checkpoint
+            # (params+optimizer+step+epoch) and training continues at the
+            # saved epoch on the identical trajectory
+            trainer.load_state(args.checkpoint)
         trainer.train()
     elif mode == "test":
         trainer.restore(args.checkpoint)

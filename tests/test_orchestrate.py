@@ -402,3 +402,63 @@ def test_run_loop_forwards_strategy_axes(tmp_path, monkeypatch):
         s = json.load(f)
     assert s["point_strategy"] == "dichotomy"
     assert s["selection"] == "all"
+
+
+def test_retry_resumes_from_epoch_state(tmp_path, monkeypatch):
+    """Epoch-granular retry (VERDICT r4 #4): a crashed attempt that left a
+    periodic state save under the round's model_dir is resumed via
+    load_state (not retrained from scratch), and the state dir is cleaned
+    up once the round completes."""
+    root = str(tmp_path)
+    make_dataset(root, task="charades", n_train=12, n_test=4, vdim=8,
+                 max_raw_len=16, seed=5)
+    monkeypatch.chdir(root)
+    cfg_dir = os.path.join(root, "configs", "charades")
+    os.makedirs(cfg_dir)
+    base_path = os.path.join(cfg_dir, "SeqPAN.yaml")
+    from hual_tpu.config import Config, PathsConfig, TrainConfig
+    cfg = Config(task="charades",
+                 paths=PathsConfig(feature_path="./data/features/charades_i3d",
+                                   glove_path="./data/glove/glove.840B.300d.txt",
+                                   train_path="./data/charades_gt/train.json",
+                                   test_path="./data/charades_gt/test.json"),
+                 train=TrainConfig(epochs=8, batch_size=4,
+                                   save_state_every=1))
+    cfg.save(base_path)
+    _write_fake_predictions(cfg.derive_round(0), "./results/charades/re0.pkl")
+
+    events = []
+
+    class PreemptedTrainer(StubTrainer):
+        """First attempt 'trains 3 epochs', saves state, dies; the retry
+        must call load_state with that path and finish."""
+        class _State:
+            epoch = 3
+
+        state = _State()
+
+        def train(self):
+            state_dir = os.path.join(
+                os.path.abspath(self.config.model_dir()), "state")
+            if not os.path.exists(state_dir):
+                os.makedirs(state_dir)
+                events.append("preempted")
+                raise RuntimeError("preempted at epoch 3")
+            events.append("completed")
+            return super().train()
+
+        def load_state(self, path):
+            events.append(("load_state", os.path.exists(path)))
+
+    import hual_tpu.cli as cli
+    monkeypatch.setattr(cli, "build_trainer",
+                        lambda c, **kw: PreemptedTrainer(c))
+    from hual_tpu.orchestrate import run_rounds
+    history = run_rounds("charades", rounds=1, base_config_path=base_path,
+                         max_retries=1)
+    assert events == ["preempted", ("load_state", True), "completed"], events
+    assert len(history) == 1
+    # state dir cleaned up after the successful round
+    state_dir = os.path.join(
+        os.path.abspath(cfg.derive_round(1).model_dir()), "state")
+    assert not os.path.exists(state_dir)
