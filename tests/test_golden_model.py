@@ -301,7 +301,15 @@ def test_adamw_step_deltas_match(golden):
     Pins the whole backward path + global-norm clip + BERT-AdamW (no bias
     correction; m=v=0 start) + the layer_norm/bias weight-decay exclusion.
     Tolerances: near-zero grads get amplified by 1/(sqrt(v)+eps) ~ 1e5 but
-    stay tiny in absolute terms, so compare with a mixed rtol/atol.
+    stay tiny in absolute terms, so compare with a mixed rtol/atol.  atol is
+    calibrated above TF's own run-to-run f32 reduction-order noise: the same
+    anet fixture measured max |delta| deviations of 6.6e-6 on 0.34% of
+    video_conv1d elements inside a full-suite run vs <2e-6 isolated
+    (2026-08-21) — TF's CPU thread pool (shared session state across the
+    suite) reorders gradient reductions, and the m=v=0 first step amplifies
+    near-zero grads linearly (~lr/eps').  The failure modes this test guards
+    (wrong grads, wrong clip order, bias-corrected AdamW, missed decay
+    exclusion) deviate at the 1e-4 delta scale across whole tensors.
     """
     any_delta = 0.0
     for name, path in golden["mapping"].items():
@@ -310,7 +318,7 @@ def test_adamw_step_deltas_match(golden):
         ours_delta = (np.asarray(golden["params_after"][path])
                       - np.asarray(golden["params_before"][path]))
         np.testing.assert_allclose(ours_delta, ref_delta, rtol=2e-2,
-                                   atol=2e-6, err_msg=name)
+                                   atol=1e-5, err_msg=name)
         any_delta = max(any_delta, float(np.abs(ref_delta).max()))
     assert any_delta > 1e-7, "reference step produced no update — bad fixture"
 

@@ -69,6 +69,10 @@ def main() -> int:
                         "noise, weaker amplitudes — make_synthetic_data "
                         "--hard): gives the acquisition term real per-sample "
                         "difficulty variation to exploit (VERDICT r4 #2)")
+    p.add_argument("--seed", type=int, default=7,
+                   help="dataset generator seed (non-default seeds get a "
+                        "_s<seed> artifact suffix — for replicating a "
+                        "finding on an independent dataset draw)")
     p.add_argument("--out", default=None,
                    help="combined summary path (default: "
                         "<repo>/results/strategy_ablation_loops.json)")
@@ -80,6 +84,8 @@ def main() -> int:
                          f"{str(a.mc_droprate).replace('.', '')}.json")
     if a.hard:
         default_name = default_name.replace(".json", "_hard.json")
+    if a.seed != 7:
+        default_name = default_name.replace(".json", f"_s{a.seed}.json")
     out_path = a.out or os.path.join(repo, "results", default_name)
     cwd0 = os.getcwd()
 
@@ -88,7 +94,7 @@ def main() -> int:
                      f"n_test={a.n_test} epochs={a.epochs} rounds={a.rounds} "
                      f"vdim={a.vdim} max_vlen=64, "
                      f"mc_droprate={a.mc_droprate}, hard={a.hard}, "
-                     f"identical dataset per variant (seed 7)"),
+                     f"identical dataset per variant (seed {a.seed})"),
         "variants": [],
     }
     t_all = time.time()
@@ -99,7 +105,7 @@ def main() -> int:
             shutil.rmtree(root)
         make_dataset(root, task="charades", n_train=a.n_train,
                      n_test=a.n_test, vdim=a.vdim, max_raw_len=128,
-                     seed=7, hard=a.hard)
+                     seed=a.seed, hard=a.hard)
         t0 = time.time()
         os.chdir(cwd0)
         summary_path = os.path.join(root, "full_loop_summary.json")
