@@ -41,6 +41,48 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "results", "synthetic_quality_comparison.json")
 
 
+def harvest_ref_label_miou(log_path: str) -> list:
+    """Per-round pseudo-label mIoU from the reference's own update_label
+    output ("mIoU[GT, pseudo]:\\n<old> -> <new>", utils_hual.py:22-34) —
+    the LOW-NOISE comparison signal: labels are what the AL algorithm
+    actually produces, and are computed over the whole train set, while
+    best-test R@1 at this scale carries several points of training noise."""
+    import re
+
+    with open(log_path) as f:
+        text = f.read()
+    pat = re.compile(r"mIoU\[GT, pseudo\]:\s*\n\s*([0-9.]+)\s*->\s*([0-9.]+)")
+    return [{"round": i + 1, "old": float(m.group(1)),
+             "new": float(m.group(2))}
+            for i, m in enumerate(pat.finditer(text))]
+
+
+def label_quality_section(ref_log: str, ours_summaries: list) -> dict:
+    """ref-vs-ours pseudo-label mIoU per round; ours_summaries is a list of
+    (train_seed, loop_summary dict)."""
+    ref_rounds = harvest_ref_label_miou(ref_log)
+    ours = [{"train_seed": seed,
+             "pseudo_miou": [round(r["label_stats"]["new_miou"], 4)
+                             if "label_stats" in r else r["pseudo_miou"]
+                             for r in s["rounds"]]}
+            for seed, s in ours_summaries]
+    rows = []
+    for rr in ref_rounds:
+        vals = [o["pseudo_miou"][rr["round"] - 1] for o in ours
+                if len(o["pseudo_miou"]) >= rr["round"]]
+        rows.append({"round": rr["round"], "ref": rr["new"],
+                     "ours": vals,
+                     "max_abs_delta": (round(max(abs(v - rr["new"])
+                                               for v in vals), 4)
+                                       if vals else None)})
+    return {"contract": ("train-set pseudo-label mIoU after each AL round — "
+                         "the algorithm's direct output, ~noise-free at "
+                         "train-set size (vs several points of training "
+                         "noise in best-test R@1)"),
+            "ref_initial_old": ref_rounds[0]["old"] if ref_rounds else None,
+            "rounds": rows}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/hual_synth_quality")
@@ -58,6 +100,10 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true",
                     help="tiny/fast plumbing check (does not overwrite the "
                          "default artifact)")
+    ap.add_argument("--augment", action="store_true",
+                    help="re-derive the label-quality section from an "
+                         "EXISTING run's directories under --root and fold "
+                         "it into the artifact at --out, without re-running")
     ap.add_argument("--out", default=None)
     a = ap.parse_args()
     if a.smoke:
@@ -65,6 +111,25 @@ def main() -> int:
         a.seeds = a.seeds[:1]
     out_path = a.out or (OUT if not a.smoke
                          else OUT.replace(".json", "_smoke.json"))
+
+    if a.augment:
+        with open(out_path) as f:
+            result = json.load(f)
+        root = os.path.abspath(a.root)
+        summaries = []
+        for o in result["ours"]:
+            p = os.path.join(root, f"ours_{o['train_seed']}",
+                             "loop_summary.json")
+            with open(p) as f:
+                summaries.append((o["train_seed"], json.load(f)))
+        result["label_quality"] = label_quality_section(
+            os.path.join(root, "ref_run", "reference_schedule.log"),
+            summaries)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, default=float)
+        print(json.dumps(result["label_quality"], indent=1, default=float))
+        print(f"augmented {out_path}")
+        return 0
 
     # ours must run on CPU (same hardware as the TF1 reference, and immune to
     # tunnel state) — set BEFORE any backend query; subprocesses of the
@@ -105,7 +170,7 @@ def main() -> int:
 
     # ----- our side: the production loop at each seed (fresh staging per
     # seed so round files can never leak between runs)
-    ours = []
+    ours, ours_summaries = [], []
     for seed in a.seeds:
         sroot = os.path.join(root, f"ours_{seed}")
         shutil.copytree(sd, os.path.join(sroot, "data"), symlinks=True)
@@ -117,6 +182,7 @@ def main() -> int:
         os.chdir(cwd0)
         with open(os.path.join(sroot, "loop_summary.json")) as f:
             s = json.load(f)
+        ours_summaries.append((seed, s))
         re0 = s["re0_best"].get("test_metrics") or {}
         traj = [{"round": 0, "r1i5": re0.get("r1i5"),
                  "r1i7": re0.get("r1i7")}]
@@ -166,6 +232,8 @@ def main() -> int:
         "ours": ours,
         "comparison": comparison,
         "ref_inside_envelope_all_rounds": verdict,
+        "label_quality": label_quality_section(
+            ref["protocol"]["log"], ours_summaries),
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
