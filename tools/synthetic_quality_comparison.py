@@ -57,6 +57,33 @@ def harvest_ref_label_miou(log_path: str) -> list:
             for i, m in enumerate(pat.finditer(text))]
 
 
+def harvest_ref_rounds_from_log(log_path: str) -> list:
+    """Re-derive the reference's per-round best-test metrics from the tee'd
+    schedule log (sections delimited by '===== train reN: ... ====='),
+    applying the reference's own best rule — lets --resume reuse a completed
+    reference run after a crash/timeout killed the python process that held
+    the in-memory numbers."""
+    import re
+
+    from run_reference_side import best_test_line
+
+    with open(log_path) as f:
+        text = f.read()
+    marks = [(m.start(), m.group(1), int(m.group(2)))
+             for m in re.finditer(r"^===== (train|infer|update_label) "
+                                  r"re(\d+):", text, re.M)]
+    rounds = []
+    for i, (pos, kind, rnd) in enumerate(marks):
+        if kind != "train":
+            continue
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(text)
+        best = best_test_line(text[pos:end])
+        if best is None:
+            break  # that round's training never completed
+        rounds.append({"round": rnd, **best})
+    return rounds
+
+
 def label_quality_section(ref_log: str, ours_summaries: list) -> dict:
     """ref-vs-ours pseudo-label mIoU per round; ours_summaries is a list of
     (train_seed, loop_summary dict)."""
@@ -100,6 +127,10 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true",
                     help="tiny/fast plumbing check (does not overwrite the "
                          "default artifact)")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse whatever already completed under --root (the "
+                         "reference schedule, finished seeds); only run "
+                         "what's missing — recovery after a crash/timeout")
     ap.add_argument("--augment", action="store_true",
                     help="re-derive the label-quality section from an "
                          "EXISTING run's directories under --root and fold "
@@ -146,11 +177,13 @@ def main() -> int:
 
     cwd0 = os.getcwd()
     root = os.path.abspath(a.root)
-    if os.path.exists(root):
+    if os.path.exists(root) and not a.resume:
         shutil.rmtree(root)
     synth = os.path.join(root, "synthetic_assets")
-    make_dataset(synth, task="charades", n_train=a.n_train, n_test=a.n_test,
-                 vdim=a.vdim, max_raw_len=64, seed=31)
+    if not (a.resume and os.path.exists(os.path.join(
+            synth, "data", "charades_re0"))):
+        make_dataset(synth, task="charades", n_train=a.n_train,
+                     n_test=a.n_test, vdim=a.vdim, max_raw_len=64, seed=31)
     sd = os.path.join(synth, "data")
     resolved = validate_assets(
         "charades", features=os.path.join(sd, "features", "charades_i3d"),
@@ -158,28 +191,50 @@ def main() -> int:
     model_over = dict(vdim=a.vdim)
 
     # ----- reference side: its own code, its own schedule, shipped seed
-    t0 = time.time()
-    ref = run_reference_schedule(
-        os.path.join(root, "ref_run"), "charades", resolved,
-        epochs=a.epochs, rounds=a.rounds,
-        model_cfg=dict(model_over, max_vlen=64))
-    ref_wall = round((time.time() - t0) / 60, 1)
-    os.chdir(cwd0)
-    print(f"[reference] done in {ref_wall} min: "
-          f"{[r['r1i7'] for r in ref['rounds']]}", flush=True)
+    ref_log = os.path.join(root, "ref_run", "reference_schedule.log")
+    ref, ref_wall = None, None
+    if a.resume and os.path.exists(ref_log):
+        done = harvest_ref_rounds_from_log(ref_log)
+        if len(done) == a.rounds + 1:
+            ref = {"rounds": done,
+                   "protocol": {"source": "resumed from completed run "
+                                          "(log re-harvest)",
+                                "schedule": {"epochs": a.epochs,
+                                             "rounds": a.rounds},
+                                "seed": 12345,
+                                "best_rule": "strictly-greater R1@0.7 over "
+                                             "epochs (reference "
+                                             "main.py:70-74)",
+                                "log": ref_log}}
+            print(f"[reference] resumed from log: "
+                  f"{[r['r1i7'] for r in done]}", flush=True)
+    if ref is None:
+        t0 = time.time()
+        ref = run_reference_schedule(
+            os.path.join(root, "ref_run"), "charades", resolved,
+            epochs=a.epochs, rounds=a.rounds,
+            model_cfg=dict(model_over, max_vlen=64))
+        ref_wall = round((time.time() - t0) / 60, 1)
+        os.chdir(cwd0)
+        print(f"[reference] done in {ref_wall} min: "
+              f"{[r['r1i7'] for r in ref['rounds']]}", flush=True)
 
     # ----- our side: the production loop at each seed (fresh staging per
     # seed so round files can never leak between runs)
     ours, ours_summaries = [], []
     for seed in a.seeds:
         sroot = os.path.join(root, f"ours_{seed}")
-        shutil.copytree(sd, os.path.join(sroot, "data"), symlinks=True)
         t0 = time.time()
-        run_loop(sroot, "charades", epochs=a.epochs, rounds=a.rounds,
-                 max_vlen=64, mc_droprate=0.0, model_kwargs=model_over,
-                 train_kwargs={"seed": seed},
-                 summary_name="loop_summary.json")
-        os.chdir(cwd0)
+        if not (a.resume
+                and os.path.exists(os.path.join(sroot, "loop_summary.json"))):
+            if os.path.exists(sroot):  # half-finished casualty of a crash
+                shutil.rmtree(sroot)
+            shutil.copytree(sd, os.path.join(sroot, "data"), symlinks=True)
+            run_loop(sroot, "charades", epochs=a.epochs, rounds=a.rounds,
+                     max_vlen=64, mc_droprate=0.0, model_kwargs=model_over,
+                     train_kwargs={"seed": seed},
+                     summary_name="loop_summary.json")
+            os.chdir(cwd0)
         with open(os.path.join(sroot, "loop_summary.json")) as f:
             s = json.load(f)
         ours_summaries.append((seed, s))
