@@ -135,6 +135,13 @@ def main() -> int:
                     help="re-derive the label-quality section from an "
                          "EXISTING run's directories under --root and fold "
                          "it into the artifact at --out, without re-running")
+    ap.add_argument("--ref-spread", type=int, nargs="+", default=None,
+                    metavar="SEED",
+                    help="run the REFERENCE at these extra seeds (its own "
+                         "RNG) on the same staged dataset and fold the "
+                         "trajectories into the artifact's reference_spread "
+                         "— upgrades the envelope contract to spread-vs-"
+                         "spread (~13 min/seed on CPU)")
     ap.add_argument("--out", default=None)
     a = ap.parse_args()
     if a.smoke:
@@ -160,6 +167,74 @@ def main() -> int:
             json.dump(result, f, indent=1, default=float)
         print(json.dumps(result["label_quality"], indent=1, default=float))
         print(f"augmented {out_path}")
+        return 0
+
+    if a.ref_spread:
+        from real_assets_parity import validate_assets
+        from run_reference_side import run_reference_schedule
+
+        with open(out_path) as f:
+            result = json.load(f)
+        root = os.path.abspath(a.root)
+        sd = os.path.join(root, "synthetic_assets", "data")
+        resolved = validate_assets(
+            "charades",
+            features=os.path.join(sd, "features", "charades_i3d"),
+            glove=os.path.join(sd, "glove", "glove.840B.300d.txt"),
+            data_root=sd)
+        spread = result.get("reference_spread", [])
+        have = {s["seed"] for s in spread}
+        cwd0 = os.getcwd()
+        for seed in a.ref_spread:
+            if seed in have:
+                continue
+            rroot = os.path.join(root, f"ref_run_s{seed}")
+            log = os.path.join(rroot, "reference_schedule.log")
+            if os.path.exists(log) and len(harvest_ref_rounds_from_log(
+                    log)) == a.rounds + 1:  # crashed-after-complete resume
+                rounds = harvest_ref_rounds_from_log(log)
+            else:
+                r = run_reference_schedule(
+                    rroot, "charades", resolved, epochs=a.epochs,
+                    rounds=a.rounds,
+                    model_cfg=dict(vdim=a.vdim, max_vlen=64), seed=seed)
+                rounds = r["rounds"]
+            os.chdir(cwd0)
+            spread.append({"seed": seed, "rounds": rounds,
+                           "label_miou": [x["new"] for x in
+                                          harvest_ref_label_miou(log)]})
+            print(f"[reference seed={seed}] "
+                  f"{[r['r1i7'] for r in rounds]}", flush=True)
+        result["reference_spread"] = spread
+        # spread-vs-spread: per round, do the two frameworks' across-seed
+        # R1@0.7 ranges overlap (widened by 2 binomial sd)?
+        all_ref = ([{"rounds": result["reference"]["rounds"]}]
+                   + [{"rounds": s["rounds"]} for s in spread])
+        n_test = result.get("n_test", 300)
+        rows = []
+        for rnd_row in result["comparison"]:
+            rnd = rnd_row["round"]
+            refs = [next(r["r1i7"] for r in s["rounds"]
+                         if r["round"] == rnd) for s in all_ref]
+            ours = rnd_row["r1i7"]["ours"]
+            sd_b = rnd_row["r1i7"]["binomial_sd"]
+            overlap = (min(max(refs), max(ours)) + 2 * sd_b
+                       >= max(min(refs), min(ours)) - 2 * sd_b)
+            rows.append({"round": rnd, "ref_range": [min(refs), max(refs)],
+                         "ours_range": [min(ours), max(ours)],
+                         "binomial_sd": sd_b, "ranges_overlap_2sd": overlap})
+        result["spread_comparison"] = {
+            "contract": ("across-seed R1@0.7 ranges of the two frameworks "
+                         "overlap (each widened by 2 binomial sd of "
+                         f"n_test={n_test}) at every round"),
+            "rounds": rows,
+            "all_rounds_overlap": all(r["ranges_overlap_2sd"] for r in rows),
+        }
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, default=float)
+        print(json.dumps(result["spread_comparison"], indent=1,
+                         default=float))
+        print(f"augmented {out_path} with reference_spread")
         return 0
 
     # ours must run on CPU (same hardware as the TF1 reference, and immune to
